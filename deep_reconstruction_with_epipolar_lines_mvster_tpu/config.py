@@ -1,0 +1,127 @@
+"""Typed configuration for the MVSTER-TPU framework.
+
+The reference drives everything through 40+ argparse flags with dense string
+encodings (``train_mvs4.py:18-100``, SURVEY.md §5.6). Here the canonical
+source of truth is typed dataclasses; ``parse_*`` helpers keep the reference's
+string encodings as a compatibility layer so the shipped recipes translate
+1:1 (``--ndepths "8,8,4,4"``, ``--lrepochs "2,3:1.2"``, ``--Nlights "3:7"``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def parse_int_list(s: str) -> Tuple[int, ...]:
+    """``"8,8,4,4" -> (8, 8, 4, 4)`` (reference: train_mvs4.py:510)."""
+    return tuple(int(x) for x in s.split(",") if x)
+
+
+def parse_float_list(s: str) -> Tuple[float, ...]:
+    """``"0.5,0.5,0.5,1" -> (0.5, 0.5, 0.5, 1.0)`` (train_mvs4.py:511)."""
+    return tuple(float(x) for x in s.split(",") if x)
+
+
+def parse_lrepochs(s: str) -> Tuple[Tuple[int, ...], float]:
+    """``"6,8,9:2" -> ((6, 8, 9), 2.0)`` — milestone epochs and LR divisor
+    (reference: train_mvs4.py:120-121)."""
+    milestones, divisor = s.split(":")
+    return parse_int_list(milestones), float(divisor)
+
+
+def parse_nlights(s: str) -> Tuple[int, int]:
+    """``"3:7" -> (3, 7)`` — use 3 of 7 lights; negative first element means a
+    fixed light index (reference: datasets/blender4.py:25-27,52-66)."""
+    use, total = s.split(":")
+    return int(use), int(total)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """MVS4net architecture hyperparameters (reference: models/MVS4Net.py:16-67)."""
+
+    arch_mode: str = "fpn"              # fpn | fpn_convnext | fpn_convnext4
+    reg_mode: str = "reg2d"             # reg2d | reg3d
+    num_stages: int = 4
+    fpn_base_channel: int = 8
+    reg_channel: int = 8
+    ndepths: Tuple[int, ...] = (8, 8, 4, 4)
+    depth_inter_r: Tuple[float, ...] = (0.5, 0.5, 0.5, 1.0)
+    group_cor: bool = False
+    group_cor_dim: Tuple[int, ...] = (8, 8, 4, 4)
+    inverse_depth: bool = False
+    agg_type: str = "ConvBnReLU3D"      # | _CAM | _DCAM | _PAM | _PDAM suffixes
+    dcn: bool = False
+    pos_enc: int = 0                    # 0 none | 1 sine | 2 learned (wired, unlike ref)
+    mono: bool = False
+    mono_stg_itrpl: str = "nearest"     # nearest | bilinear
+    asff: bool = False
+    attn_temp: float = 2.0
+    attn_fuse_d: bool = True
+    gn: bool = False                    # GroupNorm instead of BatchNorm in FPN
+    dtype: str = "float32"              # compute dtype: float32 | bfloat16
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
+
+    @property
+    def fpn_out_channels(self) -> Tuple[int, ...]:
+        b = self.fpn_base_channel
+        return (8 * b, 4 * b, 2 * b, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """MVS4net_loss weights (reference: models/MVS4Net.py:195-240).
+
+    Note the reference CLI passes ``l1ce_lw`` but the loss reads ``l1ot_lw``
+    so the CLI weights silently stay at the (0, 1) default
+    (train_mvs4.py:337 vs MVS4Net.py:197). Here the weights are explicit; the
+    reference's *effective* training behaviour corresponds to the default.
+    """
+
+    stage_lw: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    l1_lw: float = 0.0
+    ot_lw: float = 1.0
+    ot_iter: int = 3
+    ot_eps: float = 1.0
+    ot_continuous: bool = False
+    inverse_depth: bool = False
+    mono: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / loop settings (reference: train_mvs4.py:33-52,118-137)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    epochs: int = 10
+    batch_size: int = 1
+    lr_scheduler: str = "MS"            # MS | cos | onecycle | exponent
+    lr_milestones: Tuple[int, ...] = (6, 8, 9)   # epochs
+    lr_gamma_divisor: float = 2.0
+    warmup_iters: int = 500
+    warmup_factor: float = 1.0 / 3.0
+    seed: int = 1
+    summary_freq: int = 50
+    save_freq: int = 1
+    eval_freq: int = 1
+
+
+# The de-facto reference recipes (BASELINE.md) expressed as configs.
+DTU_MODEL = ModelConfig(
+    ndepths=(8, 8, 4, 4),
+    depth_inter_r=(0.5, 0.5, 0.5, 1.0),
+    group_cor=True,
+    group_cor_dim=(8, 8, 4, 4),
+    inverse_depth=True,
+    mono=True,
+    attn_temp=2.0,
+)
+
+DTU_LOSS = LossConfig(inverse_depth=True, mono=True)

@@ -1,0 +1,306 @@
+"""Feature pyramid backbones + ASFF fusion (flax, NHWC).
+
+Reimplements the reference backbones:
+
+- ``FPN4`` (mvs4net_utils.py:426-509): 4-scale FPN, stride-2 5x5 stem convs,
+  1x1 laterals into an 8b-channel top-down path with bilinear
+  align_corners=True x2 upsampling, per-scale output heads
+  (8b, 4b, 2b, b channels at 1/8, 1/4, 1/2, 1/1 resolution).
+- ``FPN4_convnext`` / ``FPN4_convnext4`` (mvs4net_utils.py:533-728):
+  ConvNeXt-style stages (depthwise 7x7 + LN + pointwise MLP with layer scale).
+- ``ASFF`` (mvs4net_utils.py:730-812): adaptive per-stage fusion of all four
+  pyramid levels with a learned softmax blend.
+- ``DeformConv2d``: DCNv2 (offset + modulation) built on the shared
+  grid-sample gather — TPU equivalent of the external CUDA ``DeformConvPack``
+  the reference imports for ``--dcn`` (mvs4net_utils.py:410-424).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.geometry import grid_sample_2d, resize_align_corners, upsample_nearest_2x
+from .layers import BN_EPS, BN_MOMENTUM, ConvBnReLU
+
+
+class DeformConv2d(nn.Module):
+    """Deformable conv v2 (3x3, stride 1) via 9 bilinear gathers.
+
+    Offsets and modulation start at zero (sigmoid(0)=0.5 modulation), matching
+    the reference init (mvs4net_utils.py:283-291), so the initial function is
+    a plain 3x3 conv scaled by 0.5.
+    """
+
+    out_channels: int
+    kernel: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        k = self.kernel
+        n = k * k
+        offsets = nn.Conv(
+            2 * n, (3, 3), padding="SAME", dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(x)  # [B, H, W, 2n] — (dy, dx) per tap
+        modulation = nn.sigmoid(
+            nn.Conv(
+                n, (3, 3), padding="SAME", dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            )(x)
+        )  # [B, H, W, n]
+
+        ys = jnp.arange(H, dtype=jnp.float32)
+        xs = jnp.arange(W, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
+
+        taps = []
+        half = (k - 1) // 2
+        t = 0
+        for dy in range(-half, half + 1):
+            for dx in range(-half, half + 1):
+                px = gx[None] + dx + offsets[..., 2 * t + 1]
+                py = gy[None] + dy + offsets[..., 2 * t]
+                coords = jnp.stack([px, py], axis=-1)  # [B, H, W, 2]
+                sampled = grid_sample_2d(x, coords)     # [B, H, W, C]
+                taps.append(sampled * modulation[..., t : t + 1])
+                t += 1
+        stacked = jnp.concatenate(taps, axis=-1)  # [B, H, W, n*C]
+        return nn.Conv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype
+        )(stacked)
+
+
+class NADCN(nn.Module):
+    """Norm + ReLU + deformable conv head (reference NA_DCN,
+    mvs4net_utils.py:410-424)."""
+
+    channels: int
+    gn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        if self.gn:
+            x = nn.GroupNorm(
+                num_groups=max(1, self.channels // 8), epsilon=1e-5, dtype=self.dtype
+            )(x)
+        else:
+            x = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype)(
+                x, use_running_average=not train
+            )
+        x = nn.relu(x)
+        return DeformConv2d(self.channels, dtype=self.dtype)(x)
+
+
+class _TopDown(nn.Module):
+    """Shared FPN top-down pathway + output heads + optional DCN heads."""
+
+    base: int
+    gn: bool
+    dcn: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, conv0, conv1, conv2, conv3, *, train: bool):
+        b = self.base
+        final = 8 * b
+        inner1 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)
+        inner2 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)
+        inner3 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)
+        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, dtype=self.dtype)
+        out2 = nn.Conv(4 * b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
+        out3 = nn.Conv(2 * b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
+        out4 = nn.Conv(b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
+
+        def up2(x):
+            H, W = x.shape[1:3]
+            return resize_align_corners(x, (2 * H, 2 * W))
+
+        intra = conv3
+        o1 = out1(intra)
+        intra = up2(intra) + inner1(conv2)
+        o2 = out2(intra)
+        intra = up2(intra) + inner2(conv1)
+        o3 = out3(intra)
+        intra = up2(intra) + inner3(conv0)
+        o4 = out4(intra)
+
+        if self.dcn:
+            o1 = NADCN(8 * b, gn=self.gn, dtype=self.dtype)(o1, train=train)
+            o2 = NADCN(4 * b, gn=self.gn, dtype=self.dtype)(o2, train=train)
+            o3 = NADCN(2 * b, gn=self.gn, dtype=self.dtype)(o3, train=train)
+            o4 = NADCN(b, gn=self.gn, dtype=self.dtype)(o4, train=train)
+        # stage1 = coarsest (1/8), stage4 = full res — reference key order
+        return (o1, o2, o3, o4)
+
+
+class FPN4(nn.Module):
+    """4-scale FPN backbone (reference FPN4, mvs4net_utils.py:426-509)."""
+
+    base: int = 8
+    gn: bool = False
+    dcn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        b = self.base
+        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(x, train=train)
+        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(conv0, train=train)
+
+        conv1 = ConvBnReLU(2 * b, 5, stride=2, gn=self.gn, dtype=self.dtype)(conv0, train=train)
+        conv1 = ConvBnReLU(2 * b, 3, gn=self.gn, dtype=self.dtype)(conv1, train=train)
+        conv1 = ConvBnReLU(2 * b, 3, gn=self.gn, dtype=self.dtype)(conv1, train=train)
+
+        conv2 = ConvBnReLU(4 * b, 5, stride=2, gn=self.gn, dtype=self.dtype)(conv1, train=train)
+        conv2 = ConvBnReLU(4 * b, 3, gn=self.gn, dtype=self.dtype)(conv2, train=train)
+        conv2 = ConvBnReLU(4 * b, 3, gn=self.gn, dtype=self.dtype)(conv2, train=train)
+
+        conv3 = ConvBnReLU(8 * b, 5, stride=2, gn=self.gn, dtype=self.dtype)(conv2, train=train)
+        conv3 = ConvBnReLU(8 * b, 3, gn=self.gn, dtype=self.dtype)(conv3, train=train)
+        conv3 = ConvBnReLU(8 * b, 3, gn=self.gn, dtype=self.dtype)(conv3, train=train)
+
+        return _TopDown(self.base, self.gn, self.dcn, dtype=self.dtype)(
+            conv0, conv1, conv2, conv3, train=train
+        )
+
+
+class ConvNeXtBlock(nn.Module):
+    """Downsampling ConvNeXt block (reference convnext_block,
+    mvs4net_utils.py:533-558): depthwise 7x7 stride-2 (dim -> 2*dim), LN,
+    pointwise MLP with GELU, learned layer scale. No residual (the stride-2
+    variant drops it, see reference ``:557``)."""
+
+    dim: int
+    layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d2 = 2 * self.dim
+        x = nn.Conv(
+            d2, (7, 7), strides=(2, 2), padding="SAME",
+            feature_group_count=self.dim, dtype=self.dtype,
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(d2, dtype=self.dtype)(x)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init), (d2,)
+        )
+        return x * gamma
+
+
+class ConvNeXt4Block(nn.Module):
+    """Patchify-style ConvNeXt block (reference convnext4_block,
+    mvs4net_utils.py:560-586): 2x2 stride-2 conv then depthwise 7x7, with the
+    residual from the downsampled input."""
+
+    dim: int
+    layer_scale_init: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d2 = 2 * self.dim
+        inp = nn.Conv(d2, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype)(x)
+        x = nn.Conv(
+            d2, (7, 7), padding="SAME", feature_group_count=self.dim,
+            dtype=self.dtype,
+        )(inp)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(d2, dtype=self.dtype)(x)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init), (d2,)
+        )
+        return inp + x * gamma
+
+
+class FPN4ConvNeXt(nn.Module):
+    """FPN4 with ConvNeXt stages (reference FPN4_convnext / FPN4_convnext4,
+    mvs4net_utils.py:588-728); ``patchify`` selects the convnext4 variant."""
+
+    base: int = 8
+    gn: bool = False
+    dcn: bool = False
+    patchify: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        b = self.base
+        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(x, train=train)
+        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(conv0, train=train)
+        block = ConvNeXt4Block if self.patchify else ConvNeXtBlock
+        conv1 = block(b, dtype=self.dtype)(conv0)
+        conv2 = block(2 * b, dtype=self.dtype)(conv1)
+        conv3 = block(4 * b, dtype=self.dtype)(conv2)
+        return _TopDown(self.base, self.gn, self.dcn, dtype=self.dtype)(
+            conv0, conv1, conv2, conv3, train=train
+        )
+
+
+class ASFF(nn.Module):
+    """Adaptive scale feature fusion for one pyramid level (reference ASFF,
+    mvs4net_utils.py:730-812). ``level`` 0 is the coarsest (stage1)."""
+
+    level: int
+    base: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x0, x1, x2, x3, *, train: bool):
+        b = self.base
+        dims = (8 * b, 4 * b, 2 * b, b)
+        inter = dims[self.level]
+
+        def conv(ch, k, s):
+            return ConvBnReLU(ch, k, stride=s, dtype=self.dtype)
+
+        def maxpool(x, k):
+            return nn.max_pool(x, (k, k), strides=(k, k))
+
+        def up_nearest(x, factor):
+            for _ in range(factor.bit_length() - 1):
+                x = upsample_nearest_2x(x)
+            return x
+
+        lvl = self.level
+        if lvl == 0:
+            r0 = x0
+            r1 = conv(inter, 3, 2)(x1, train=train)
+            r2 = conv(inter, 3, 2)(maxpool(x2, 2), train=train)
+            r3 = conv(inter, 3, 2)(maxpool(x3, 4), train=train)
+        elif lvl == 1:
+            r0 = up_nearest(conv(inter, 1, 1)(x0, train=train), 2)
+            r1 = x1
+            r2 = conv(inter, 3, 2)(x2, train=train)
+            r3 = conv(inter, 3, 2)(maxpool(x3, 2), train=train)
+        elif lvl == 2:
+            r0 = up_nearest(conv(inter, 1, 1)(x0, train=train), 4)
+            r1 = up_nearest(conv(inter, 1, 1)(x1, train=train), 2)
+            r2 = x2
+            r3 = conv(inter, 3, 2)(x3, train=train)
+        else:
+            r0 = up_nearest(conv(inter, 1, 1)(x0, train=train), 8)
+            r1 = up_nearest(conv(inter, 1, 1)(x1, train=train), 4)
+            r2 = up_nearest(conv(inter, 1, 1)(x2, train=train), 2)
+            r3 = x3
+
+        ws = [
+            ConvBnReLU(8, 1, dtype=self.dtype)(r, train=train) for r in (r0, r1, r2, r3)
+        ]
+        w = nn.Conv(4, (1, 1), dtype=self.dtype)(jnp.concatenate(ws, axis=-1))
+        w = nn.softmax(w, axis=-1)
+        fused = (
+            r0 * w[..., 0:1] + r1 * w[..., 1:2] + r2 * w[..., 2:3] + r3 * w[..., 3:4]
+        )
+        return ConvBnReLU(inter, 3, dtype=self.dtype)(fused, train=train)

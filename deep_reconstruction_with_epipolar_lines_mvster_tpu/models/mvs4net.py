@@ -1,0 +1,185 @@
+"""MVS4Net — the 4-stage cascaded MVSTER network (flax linen, NHWC).
+
+TPU-first re-design of the reference top-level net
+(``models/MVS4Net.py:16-193``):
+
+- the per-view FPN runs once with views folded into the batch axis (the
+  reference loops the backbone per view, ``MVS4Net.py:78-80``);
+- stages are unrolled statically (shapes differ per stage — natural under
+  XLA) with the depth window schedulers from ``core.hypothesis``;
+- the depth range stays on device (the reference syncs ``depth_values`` to
+  host numpy every step, ``MVS4Net.py:72-74`` — removed);
+- ``pos_enc`` is actually wired (dead flag upstream, ``MVS4Net.py:51-52``).
+
+Sample spec (matches the reference loaders, ``datasets/dtu_yao4.py:228-232``):
+  imgs            [B, V, H, W, 3]
+  proj_matrices   dict {"stage1".."stage4"} of [B, V, 2, 4, 4]
+  depth_values    [B, >=2]  (min..max; eval passes all 192 samples)
+
+Output: dict {"stage{i}": {depth, photometric_confidence, hypo_depth,
+attn_weight, inverse_min_depth*, inverse_max_depth*, mono_feat*, mono_depth*}}.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from ..core.hypothesis import (
+    init_inverse_range,
+    init_range,
+    schedule_inverse_range,
+    schedule_range,
+)
+from .fpn import ASFF, FPN4, FPN4ConvNeXt
+from .mono import MonoDepthDecoder
+from .posenc import PosEncLearned, PosEncSine
+from .reg import Reg2D, Reg3D
+from .stagenet import run_stage
+
+REG3D_DOWN_SIZE = (3, 3, 2, 2)  # reference MVS4Net.py:58
+
+
+class MVS4Net(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        imgs: jnp.ndarray,
+        proj_matrices: Dict[str, jnp.ndarray],
+        depth_values: jnp.ndarray,
+        *,
+        train: bool,
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        B, V, H, W, _ = imgs.shape
+        dtype = cfg.compute_dtype
+
+        # ---- feature extraction: views folded into batch --------------------
+        if cfg.arch_mode == "fpn":
+            backbone = FPN4(cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype)
+        elif cfg.arch_mode == "fpn_convnext":
+            backbone = FPN4ConvNeXt(cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype)
+        elif cfg.arch_mode == "fpn_convnext4":
+            backbone = FPN4ConvNeXt(
+                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, patchify=True, dtype=dtype
+            )
+        else:
+            raise ValueError(f"unknown arch_mode {cfg.arch_mode!r}")
+
+        folded = imgs.astype(dtype).reshape(B * V, H, W, imgs.shape[-1])
+        pyramids = backbone(folded, train=train)  # 4 x [B*V, h, w, c]
+        feats = [
+            p.reshape(B, V, *p.shape[1:]) for p in pyramids
+        ]  # stage index 0 = coarsest
+
+        if cfg.asff:
+            asff_mods = [ASFF(i, cfg.fpn_base_channel, dtype=dtype) for i in range(cfg.num_stages)]
+
+        depth_min = depth_values[:, 0]
+        depth_max = depth_values[:, -1]
+        depth_interval = (depth_max - depth_min) / depth_values.shape[1]
+
+        outputs: Dict[str, Any] = {}
+        prev: Dict[str, Any] = {}
+        for s in range(cfg.num_stages):
+            if cfg.asff:
+                fs = asff_mods[s]
+                stage_views = [
+                    fs(
+                        feats[0][:, v], feats[1][:, v], feats[2][:, v], feats[3][:, v],
+                        train=train,
+                    )
+                    for v in range(V)
+                ]
+            else:
+                stage_views = [feats[s][:, v] for v in range(V)]
+            h, w = stage_views[0].shape[1:3]
+            projs = proj_matrices[f"stage{s + 1}"]
+
+            if s == 0:
+                if cfg.inverse_depth:
+                    hypo = init_inverse_range(depth_values, cfg.ndepths[0], h, w)
+                else:
+                    hypo = init_range(depth_values, cfg.ndepths[0], h, w)
+            else:
+                if cfg.inverse_depth:
+                    hypo = schedule_inverse_range(
+                        jnp.asarray(prev["inverse_min_depth"]),
+                        jnp.asarray(prev["inverse_max_depth"]),
+                        cfg.ndepths[s], h, w,
+                    )
+                else:
+                    hypo = schedule_range(
+                        prev["depth"], cfg.ndepths[s],
+                        cfg.depth_inter_r[s] * depth_interval, h, w,
+                    )
+            hypo = jnp.asarray(hypo, dtype=jnp.float32)
+
+            if cfg.reg_mode == "reg2d":
+                regnet = Reg2D(
+                    base_channels=cfg.reg_channel, agg_type=cfg.agg_type, dtype=dtype,
+                    name=f"reg_stage{s + 1}",
+                )
+            else:
+                regnet = Reg3D(
+                    base_channels=cfg.reg_channel, down_size=REG3D_DOWN_SIZE[s],
+                    dtype=dtype, name=f"reg_stage{s + 1}",
+                )
+
+            if cfg.pos_enc == 1:
+                penc = PosEncSine()
+            elif cfg.pos_enc == 2:
+                penc = PosEncLearned(cfg.ndepths[s], _stage_in_dim(cfg, s),
+                                     name=f"pos_enc_stage{s + 1}")
+            else:
+                penc = None
+
+            def reg_apply(vol, _regnet=regnet, _penc=penc, _hypo=hypo):
+                if _penc is not None:
+                    vol = _penc(vol, _hypo)
+                return _regnet(vol, train=train)
+
+            out = run_stage(
+                stage_views, projs, hypo, reg_apply,
+                group_cor=cfg.group_cor,
+                group_dim=cfg.group_cor_dim[s],
+                split_itv=cfg.depth_inter_r[s],
+                attn_temp=cfg.attn_temp,
+                attn_fuse_d=cfg.attn_fuse_d,
+                inverse_depth=cfg.inverse_depth,
+                train=train,
+            )
+            if cfg.mono:
+                out["mono_feat"] = stage_views[0]  # reference view features
+            outputs[f"stage{s + 1}"] = out
+            # next-stage windows come from detached predictions
+            # (reference MVS4Net.py:116-118 uses .detach())
+            prev = {
+                k: jax.lax.stop_gradient(out[k])
+                for k in ("depth", "inverse_min_depth", "inverse_max_depth")
+                if k in out
+            }
+
+        if cfg.mono and train:
+            mono_feats = [
+                outputs[f"stage{s + 1}"]["mono_feat"] for s in range(cfg.num_stages)
+            ]
+            mono_depths = MonoDepthDecoder(interp=cfg.mono_stg_itrpl, dtype=dtype)(
+                mono_feats, depth_values[:, 0], depth_values[:, 1], train=train
+            )
+            for i, md in enumerate(mono_depths):
+                outputs[f"stage{i + 2}"]["mono_depth"] = md
+
+        return outputs
+
+
+def _stage_in_dim(cfg: ModelConfig, s: int) -> int:
+    if cfg.group_cor:
+        return cfg.group_cor_dim[s]
+    return cfg.fpn_out_channels[s]

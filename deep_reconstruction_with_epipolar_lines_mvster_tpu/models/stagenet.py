@@ -1,0 +1,70 @@
+"""Single cascade stage: aggregation -> regularization -> depth readout.
+
+Functional equivalent of the reference ``stagenet.forward``
+(``models/mvs4net_utils.py:1027-1162``). Parameters live in the per-stage
+regularization network passed in by MVS4Net; this module is pure orchestration.
+
+Readout semantics reproduced exactly:
+- winner-take-all depth: gather the hypothesis at the argmax of
+  ``softmax_D(scores)`` (``:1129-1130``; the expectation variant is
+  commented out upstream);
+- eval-only photometric confidence from the *pre-softmax* scores:
+  ``max_D(score) / sum_D(score)`` (the fork's "OLI" confidence,
+  ``:1109-1114,1135-1142``);
+- next-stage inverse-depth window ``1/depth ± split_itv · itv`` with
+  ``itv = 1/hypo[:,2] - 1/hypo[:,1]`` (``:1151-1156``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.warp_cor import epipolar_aggregate
+
+
+def run_stage(
+    features: Sequence[jnp.ndarray],   # per view [B, h, w, C], ref first
+    proj_stacks: jnp.ndarray,          # [B, V, 2, 4, 4]
+    depth_hypo: jnp.ndarray,           # [B, D, h, w]
+    regnet: Callable[[jnp.ndarray], jnp.ndarray],  # volume -> [B, D, h, w]
+    *,
+    group_cor: bool,
+    group_dim: int,
+    split_itv: float,
+    attn_temp: float,
+    attn_fuse_d: bool,
+    inverse_depth: bool,
+    train: bool,
+) -> Dict[str, Any]:
+    cost = epipolar_aggregate(
+        features, proj_stacks, depth_hypo,
+        group_cor=group_cor, group_dim=group_dim,
+        attn_temp=attn_temp, attn_fuse_d=attn_fuse_d,
+    )  # [B, D, h, w, G]
+
+    score = regnet(cost).astype(jnp.float32)  # [B, D, h, w]
+
+    attn_weight = jax.nn.softmax(score, axis=1)
+    idx = jnp.argmax(attn_weight, axis=1)  # [B, h, w]
+    depth = jnp.take_along_axis(depth_hypo, idx[:, None], axis=1)[:, 0]
+
+    out: Dict[str, Any] = {
+        "depth": depth,
+        "hypo_depth": depth_hypo,
+        "attn_weight": attn_weight,
+    }
+
+    if train:
+        out["photometric_confidence"] = jnp.zeros((), dtype=jnp.float32)
+    else:
+        score_max = jnp.take_along_axis(score, idx[:, None], axis=1)[:, 0]
+        out["photometric_confidence"] = score_max / score.sum(axis=1)
+
+    if inverse_depth:
+        itv = 1.0 / depth_hypo[:, 2] - 1.0 / depth_hypo[:, 1]
+        out["inverse_min_depth"] = 1.0 / depth + split_itv * itv
+        out["inverse_max_depth"] = 1.0 / depth - split_itv * itv
+    return out

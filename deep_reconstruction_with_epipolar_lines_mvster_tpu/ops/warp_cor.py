@@ -1,0 +1,101 @@
+"""Epipolar Transformer Aggregation — the model's hot loop.
+
+Reimplements the per-source-view warp -> (group) correlation ->
+depth-softmax attention -> weighted accumulation of the reference stagenet
+(``models/mvs4net_utils.py:1027-1102``) as a fused device-side computation:
+
+  for each source view v:
+      warped_v = homo_warp(feat_v)                    [B, D, H, W, C]
+      cor_v    = groupwise <warped_v, ref>            [B, D, H, W, G]
+      w_v      = softmax_D(sum_G cor_v / T) / sqrt(C) [B, D, H, W]
+      acc     += w_v * cor_v ;  norm += w_v
+
+XLA formulation: a static Python loop over the (small, static) view axis with
+running accumulators — no ``[V, B, D, H, W, C]`` materialization, each view's
+warped volume is consumed immediately (XLA fuses warp arithmetic + gather +
+multiply + reduce). The Pallas kernel in ``ops/pallas`` replaces the inner
+warp+correlate for large shapes; this module is the reference path and the
+CPU/interpret fallback.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import grid_sample_2d, relative_projection, warp_coords
+
+
+def correlate_view(
+    src_fea: jnp.ndarray,       # [B, H, W, C]
+    ref_fea: jnp.ndarray,       # [B, H, W, C]
+    rel_proj: jnp.ndarray,      # [B, 4, 4]
+    depth_hypo: jnp.ndarray,    # [B, D, H, W]
+    *,
+    group_cor: bool,
+    group_dim: int,
+) -> jnp.ndarray:
+    """Warp one source view and correlate against the reference.
+
+    Returns ``[B, D, H, W, G]`` with G = ``group_dim`` (group correlation,
+    reference mvs4net_utils.py:1066-1069) or G = C (squared difference,
+    ``:1071``).
+    """
+    B, D, H, W = depth_hypo.shape
+    C = src_fea.shape[-1]
+    coords = warp_coords(rel_proj, depth_hypo)
+    warped = grid_sample_2d(src_fea, coords)  # [B, D, H, W, C]
+    if group_cor:
+        g = group_dim
+        prod = warped.reshape(B, D, H, W, g, C // g) * ref_fea.reshape(
+            B, 1, H, W, g, C // g
+        )
+        return prod.mean(axis=-1)  # [B, D, H, W, G]
+    diff = ref_fea[:, None] - warped
+    return diff * diff  # [B, D, H, W, C]
+
+
+def epipolar_aggregate(
+    features: Sequence[jnp.ndarray],   # per view [B, H, W, C], ref first
+    proj_stacks: jnp.ndarray,          # [B, V, 2, 4, 4], ref first
+    depth_hypo: jnp.ndarray,           # [B, D, H, W]
+    *,
+    group_cor: bool,
+    group_dim: int,
+    attn_temp: float,
+    attn_fuse_d: bool = True,
+) -> jnp.ndarray:
+    """Cross-view attention-weighted fused cost volume ``[B, D, H, W, G]``.
+
+    Faithful to the reference accumulation (mvs4net_utils.py:1078-1100)
+    including the 1e-8 epsilon seed of the weight sum and the
+    ``softmax_D(sum_G / attn_temp) / sqrt(C)`` weighting (attn_fuse_d path)
+    or the per-pixel max-weight variant (``attn_fuse_d=False``, ``:1079-1081``).
+    """
+    ref_fea = features[0]
+    C = ref_fea.shape[-1]
+    ref_stack = proj_stacks[:, 0]
+    acc = 0.0
+    norm = 1e-8
+    for v in range(1, len(features)):
+        rel = relative_projection(proj_stacks[:, v], ref_stack)
+        cor = correlate_view(
+            features[v], ref_fea, rel, depth_hypo,
+            group_cor=group_cor, group_dim=group_dim,
+        )  # [B, D, H, W, G]
+        if attn_fuse_d:
+            w = jax.nn.softmax(
+                cor.sum(axis=-1) / attn_temp, axis=1
+            ) / math.sqrt(C)  # [B, D, H, W]
+            acc = acc + w[..., None] * cor
+            norm = norm + w
+        else:
+            w = jax.nn.softmax(cor.sum(axis=-1), axis=1).max(axis=1)  # [B, H, W]
+            acc = acc + w[:, None, :, :, None] * cor
+            norm = norm + w
+    if attn_fuse_d:
+        return acc / norm[..., None]
+    return acc / norm[:, None, :, :, None]
