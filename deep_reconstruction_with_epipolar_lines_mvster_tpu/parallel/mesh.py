@@ -1,0 +1,92 @@
+"""Device mesh + sharding setup (the DDP/NCCL replacement — SURVEY.md §2.8).
+
+One ``jax.sharding.Mesh`` over the slice with axes ``('data', 'space')``:
+
+- ``data``: batch sharding for training (gradients psum over ICI inside the
+  jitted step — replaces ``DistributedDataParallel`` + NCCL all-reduce,
+  reference train_mvs4.py:479-484,562-570);
+- ``space``: optional spatial (image-row) sharding for high-res eval — the
+  closest thing this workload has to context parallelism (SURVEY.md §5.7).
+
+Parameters/optimizer state are replicated; batches are sharded on ``data``.
+XLA inserts the gradient all-reduce automatically under ``jit`` with these
+shardings — no hand-written collectives needed for DP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Sequence | None = None,
+    *,
+    data: int | None = None,
+    space: int = 1,
+) -> Mesh:
+    """Mesh over ``devices`` (default: all) with ``data x space`` layout.
+
+    On multi-host slices, callers should pass
+    ``mesh_utils.create_hybrid_device_mesh`` output so the data axis rides
+    DCN and space rides ICI; on a single host any contiguous layout works.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // space
+    if data * space != n:
+        raise ValueError(f"data({data}) * space({space}) != #devices({n})")
+    arr = np.asarray(devices).reshape(data, space)
+    return Mesh(arr, axis_names=("data", "space"))
+
+
+def batch_spec() -> Dict[str, Any]:
+    """PartitionSpecs for the sample-dict pytree: batch axis over 'data'."""
+    stage_dict = {f"stage{i}": P("data") for i in range(1, 5)}
+    return {
+        "imgs": P("data"),
+        "proj_matrices": dict(stage_dict),
+        "depth": dict(stage_dict),
+        "depth_values": P("data"),
+        "mask": dict(stage_dict),
+    }
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch onto the mesh, sharded along the batch axis."""
+    specs = batch_spec()
+
+    def place(path_spec, x):
+        return jax.device_put(x, NamedSharding(mesh, path_spec))
+
+    return jax.tree_util.tree_map(place, specs, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params / optimizer state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_train_step(train_step, mesh: Mesh):
+    """Jit the train step with replicated state and data-sharded batches.
+
+    The gradient all-reduce over the ``data`` axis is inserted by XLA (GSPMD)
+    because the loss reduces over a sharded batch while parameters are
+    replicated — the TPU-native equivalent of DDP's backward hook.
+    """
+    state_sharding = NamedSharding(mesh, P())
+    batch_shardings = jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), batch_spec()
+    )
+    return jax.jit(
+        train_step,
+        in_shardings=(state_sharding, batch_shardings),
+        out_shardings=(state_sharding, state_sharding),
+        donate_argnums=(0,),
+    )
