@@ -57,6 +57,7 @@ def make_plane_scene(
         extrinsics.append(E)
 
     imgs = []
+    view_depths = []
     for v in range(V):
         E = extrinsics[v].astype(np.float64)
         R = E[:3, :3]
@@ -69,6 +70,8 @@ def make_plane_scene(
         s = (z0 - n @ C) / (d_world @ n)  # [H, W]
         P = C[None, None, :] + s[..., None] * d_world  # world points
         imgs.append(_texture(P[..., 0], P[..., 1]))
+        # depth of the intersection in this camera's frame (Z of R P + t)
+        view_depths.append((P @ R.T[:, 2] + t[2]).astype(np.float32))
     imgs = np.stack(imgs).astype(np.float32)  # [V, H, W, 3]
 
     # analytic ref-view depth at each stage resolution (world == ref frame)
@@ -103,6 +106,10 @@ def make_plane_scene(
         "depth": depth_ms,
         "depth_values": np.array(depth_range, dtype=np.float32),
         "mask": mask_ms,
+        # extras for fusion tests (not part of the train sample spec):
+        "view_depths": np.stack(view_depths),   # [V, H, W] per-view GT depth
+        "intrinsics": K,                        # full-res K (shared)
+        "extrinsics": np.stack(extrinsics),     # [V, 4, 4]
     }
 
 
@@ -111,3 +118,38 @@ def batch_samples(samples) -> Dict:
     import jax
 
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *samples)
+
+
+class SyntheticEvalDataset:
+    """Eval-style dataset over the plane scene: one sample per reference view
+    (each view takes a turn as ref), mirroring the unified eval loader's
+    sample spec incl. the ``filename`` routing template and 192 uniform
+    depth hypotheses (dataloader_eval.py:275,304-307)."""
+
+    NDEPTHS = 192
+
+    def __init__(self, V: int = 3, H: int = 64, W: int = 64, scan: str = "scan1",
+                 **scene_kwargs):
+        self.scene = make_plane_scene(V=V, H=H, W=W, **scene_kwargs)
+        self.V = V
+        self.scan = scan
+
+    def __len__(self):
+        return self.V
+
+    def __getitem__(self, idx: int) -> Dict:
+        sc = self.scene
+        order = [idx] + [v for v in range(self.V) if v != idx]
+        imgs = sc["imgs"][order]
+        projs = {k: v[order] for k, v in sc["proj_matrices"].items()}
+        dmin, dmax = sc["depth_values"]
+        itv = (dmax - dmin) / self.NDEPTHS
+        depth_values = np.arange(
+            dmin, itv * (self.NDEPTHS - 0.5) + dmin, itv, dtype=np.float32
+        )
+        return {
+            "imgs": imgs.astype(np.float32),
+            "proj_matrices": projs,
+            "depth_values": depth_values,
+            "filename": self.scan + "/{}/" + f"{idx:0>8}" + "{}",
+        }

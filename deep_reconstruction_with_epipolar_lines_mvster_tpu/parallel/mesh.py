@@ -58,13 +58,23 @@ def batch_spec() -> Dict[str, Any]:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along the batch axis."""
+    """Place a host batch onto the mesh, sharded along the batch axis.
+    Extra keys outside the sample spec (e.g. test-fixture extras) are
+    dropped."""
     specs = batch_spec()
 
-    def place(path_spec, x):
-        return jax.device_put(x, NamedSharding(mesh, path_spec))
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, specs, batch)
+    out: Dict[str, Any] = {}
+    for k, spec in specs.items():
+        if k not in batch:
+            continue
+        if isinstance(spec, dict):
+            out[k] = {kk: place(batch[k][kk], ss) for kk, ss in spec.items()}
+        else:
+            out[k] = place(batch[k], spec)
+    return out
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
