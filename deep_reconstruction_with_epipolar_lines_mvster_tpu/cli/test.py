@@ -1,0 +1,170 @@
+"""Eval / reconstruction CLI — flag-compatible with the reference
+``test_mvs4.py:27-124``: ``--run_gendepth`` generates per-view depth,
+confidence, camera and image artifacts; ``--run_filter`` runs the
+geometric-consistency filter + fusion into a PLY per scene.
+
+Differences vs the reference: the fusion stage runs vectorized on device
+(no multiprocessing.Pool), and the cv2.imshow/Open3D interactive debug
+windows are replaced by numeric dumps (``--debug_*`` bitmask flags write .npy
+files under ``<outdir>/debug/`` — utils.debug)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Predict depth, filter, and fuse")
+    p.add_argument("--model", default="mvsnet", help="parity; unused")
+    p.add_argument("--dataset", default="dataloader_eval")
+    p.add_argument("--dataset_name", default="blender",
+                   choices=["dtu", "blender", "bin"])
+    p.add_argument("--datapath")
+    p.add_argument("--data_resolution", type=str, default="_512x640")
+    p.add_argument("--testlist")
+    p.add_argument("--loadckpt", default=None)
+    p.add_argument("--outdir", default="./outputs")
+    p.add_argument("--pair_fname", default="pair.txt")
+    p.add_argument("--lighting", type=int, default=3)
+
+    p.add_argument("--ndepths", type=str, default="8,8,4,4")
+    p.add_argument("--depth_inter_r", type=str, default="0.5,0.5,0.5,1")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--interval_scale", type=float, required=True)
+    p.add_argument("--max_h", type=int, default=512)
+    p.add_argument("--max_w", type=int, default=640)
+    p.add_argument("--fix_res", action="store_true")
+    p.add_argument("--num_worker", type=int, default=1)
+    p.add_argument("--save_freq", type=int, default=20)
+    p.add_argument("--filter_method", type=str, default="normal",
+                   choices=["gipuma", "normal"])
+    p.add_argument("--save_ply", action="store_true")
+
+    p.add_argument("--run_gendepth", action="store_true")
+    p.add_argument("--NviewGen", type=int, default=5)
+    p.add_argument("--depthgen_thres", type=float, default=0.8)
+
+    p.add_argument("--run_filter", action="store_true")
+    p.add_argument("--NviewFilter", type=int, default=10)
+    p.add_argument("--photomask", type=float, default=0.8)
+    p.add_argument("--geomask", type=int, default=3)
+    p.add_argument("--condmask_pixel", type=float, default=1.0)
+    p.add_argument("--condmask_depth", type=float, default=0.01)
+
+    p.add_argument("--share_cr", action="store_true")
+    p.add_argument("--fpn_base_channel", type=int, default=8)
+    p.add_argument("--reg_channel", type=int, default=8)
+    p.add_argument("--reg_mode", type=str, default="reg2d")
+    p.add_argument("--dlossw", type=str, default="1,1,1,1")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--group_cor", action="store_true")
+    p.add_argument("--group_cor_dim", type=str, default="8,8,4,4")
+    p.add_argument("--inverse_depth", action="store_true")
+    p.add_argument("--agg_type", type=str, default="ConvBnReLU3D")
+    p.add_argument("--dcn", action="store_true")
+    p.add_argument("--arch_mode", type=str, default="fpn")
+    p.add_argument("--ot_continous", action="store_true")
+    p.add_argument("--ot_eps", type=float, default=1)
+    p.add_argument("--ot_iter", type=int, default=0)
+    p.add_argument("--rt", action="store_true")
+    p.add_argument("--use_raw_train", action="store_true")
+    p.add_argument("--mono", action="store_true")
+    p.add_argument("--mono_stg_itrpl", type=str, default="nearest",
+                   choices=["nearest", "bilinear"])
+    p.add_argument("--pos_enc", type=int, default=0)
+    p.add_argument("--split", type=str, default="intermediate")
+    p.add_argument("--save_jpg", action="store_true")
+    p.add_argument("--ASFF", action="store_true")
+    p.add_argument("--vis_ETA", action="store_true")
+    p.add_argument("--vis_stg_features", type=int, default=0)
+    p.add_argument("--attn_temp", type=float, default=2)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--debug_model", type=int, default=0)
+    p.add_argument("--debug_depth_gen", type=int, default=0)
+    p.add_argument("--debug_depth_filter", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    assert args.batch_size == 1, "eval expects batch_size 1 (test_mvs4.py:947)"
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import find_dataset_def
+    from ..data.io import read_scan_list
+    from ..models import MVS4Net
+    from ..train import load_weights
+    from .train import make_model_config
+
+    mcfg = make_model_config(args)
+    model = MVS4Net(mcfg)
+
+    testlist = read_scan_list(args.testlist) if args.testlist else [""]
+
+    if args.run_gendepth:
+        from ..eval import generate_depth_maps
+
+        DS = find_dataset_def(args.dataset)
+        total_time, total_views = 0.0, 0
+        variables = None
+        for scene in testlist:
+            ds = DS(
+                datapath=args.datapath, resolution=args.data_resolution,
+                listfile=[scene], mode="test", nviews=args.NviewGen,
+                interval_scale=args.interval_scale, max_h=args.max_h,
+                max_w=args.max_w, pair_fname=args.pair_fname,
+                lighting=args.lighting, dsname=args.dataset_name,
+            )
+            if variables is None:
+                s0 = ds[0]
+                variables = model.init(
+                    jax.random.PRNGKey(0),
+                    jnp.asarray(s0["imgs"][None]),
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x[None]), s0["proj_matrices"]
+                    ),
+                    jnp.asarray(s0["depth_values"][None]),
+                    train=False,
+                )
+                if args.loadckpt:
+                    print(f"=> loading model {args.loadckpt}")
+                    variables = load_weights(args.loadckpt, dict(variables))
+            stats = generate_depth_maps(
+                model, variables, ds, args.outdir,
+                batch_size=args.batch_size,
+                depthgen_thres=args.depthgen_thres,
+                save_ply=args.save_ply, save_jpg=args.save_jpg,
+            )
+            total_time += stats["total_time_s"]
+            total_views += int(stats["views"])
+        print(f"total time: {total_time}")
+        if total_views:
+            print(f"avg time: {total_time / total_views}")
+
+    if args.run_filter:
+        from ..eval import FusionConfig, filter_scene
+
+        assert args.NviewFilter <= args.NviewGen or not args.run_gendepth
+        cfg = FusionConfig(
+            photomask=args.photomask, geomask=args.geomask,
+            condmask_pixel=args.condmask_pixel,
+            condmask_depth=args.condmask_depth,
+        )
+        if args.dataset_name == "bin":
+            pair_file = os.path.join(args.datapath, "../..", args.pair_fname)
+        else:
+            pair_file = os.path.join(args.datapath, args.pair_fname)
+        for scene in testlist:
+            filter_scene(
+                os.path.join(args.outdir, scene), pair_file,
+                nview_filter=args.NviewFilter, cfg=cfg,
+                save_ply=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Training CLI — flag-compatible with the reference ``train_mvs4.py:18-100``.
+
+The dense string encodings (``--ndepths "8,8,4,4"``, ``--lrepochs "2,3:1.2"``,
+``--Nlights "3:7"``, ...) are parsed by ``config.parse_*`` into the typed
+configs; the same shell recipes (scripts/train_dtu.sh etc.) work unchanged.
+
+TPU notes vs the reference: distribution is a device mesh instead of NCCL
+DDP — data parallelism engages automatically over all local devices (and all
+hosts under ``jax.distributed``); ``--local_rank`` is accepted and ignored.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native MVSTER training")
+    p.add_argument("--mode", default="train", choices=["train", "test", "profile"])
+    p.add_argument("--device", default="tpu", help="accepted for parity; unused")
+
+    p.add_argument("--dataset", default="dtu_yao4")
+    p.add_argument("--trainpath")
+    p.add_argument("--testpath")
+    p.add_argument("--trainlist")
+    p.add_argument("--testlist")
+    p.add_argument("--pair_fname", default="pair.txt")
+    p.add_argument("--train_nviews", type=int, default=5)
+    p.add_argument("--test_nviews", type=int, default=5)
+    p.add_argument("--Nlights", type=str, default="1:1")
+
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--lrepochs", type=str, default="6,8,9:2")
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--interval_scale", type=float, default=1.06)
+
+    p.add_argument("--loadckpt", default=None)
+    p.add_argument("--logdir", default="./outputs/debug")
+    p.add_argument("--resume", action="store_true")
+
+    p.add_argument("--summary_freq", type=int, default=50)
+    p.add_argument("--save_freq", type=int, default=1)
+    p.add_argument("--eval_freq", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--pin_m", action="store_true", help="parity; unused")
+    p.add_argument("--dataloader_workers", type=int, default=4)
+    p.add_argument("--local_rank", type=int, default=0, help="parity; unused")
+
+    p.add_argument("--ndepths", type=str, default="8,8,4,4")
+    p.add_argument("--depth_inter_r", type=str, default="0.5,0.5,0.5,1")
+    p.add_argument("--dlossw", type=str, default="1,1,1,1")
+    p.add_argument("--l1ce_lw", type=str, default="0,1")
+    p.add_argument("--fpn_base_channel", type=int, default=8)
+    p.add_argument("--reg_channel", type=int, default=8)
+    p.add_argument("--reg_mode", type=str, default="reg2d")
+    p.add_argument("--group_cor", action="store_true")
+    p.add_argument("--group_cor_dim", type=str, default="8,8,4,4")
+    p.add_argument("--inverse_depth", action="store_true")
+    p.add_argument("--agg_type", type=str, default="ConvBnReLU3D")
+    p.add_argument("--dcn", action="store_true")
+    p.add_argument("--pos_enc", type=int, default=0)
+    p.add_argument("--arch_mode", type=str, default="fpn")
+    p.add_argument("--ot_continous", action="store_true")
+    p.add_argument("--ot_iter", type=int, default=10)
+    p.add_argument("--ot_eps", type=float, default=1)
+    p.add_argument("--rt", action="store_true")
+    p.add_argument("--max_h", type=int, default=864)
+    p.add_argument("--max_w", type=int, default=1152)
+    p.add_argument("--use_raw_train", action="store_true")
+    p.add_argument("--mono", action="store_true")
+    p.add_argument("--mono_stg_itrpl", type=str, default="nearest",
+                   choices=["nearest", "bilinear"])
+    p.add_argument("--lr_scheduler", type=str, default="MS")
+    p.add_argument("--ASFF", action="store_true")
+    p.add_argument("--attn_temp", type=float, default=2)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype for the conv path")
+    p.add_argument("--debug_model", type=int, default=0,
+                   help="bitmask numeric debug dumps (see utils.debug)")
+    return p
+
+
+def make_model_config(args):
+    from ..config import ModelConfig, parse_float_list, parse_int_list
+
+    return ModelConfig(
+        arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),
+        reg_mode=args.reg_mode,
+        fpn_base_channel=args.fpn_base_channel,
+        reg_channel=args.reg_channel,
+        ndepths=parse_int_list(args.ndepths),
+        depth_inter_r=parse_float_list(args.depth_inter_r),
+        group_cor=args.group_cor,
+        group_cor_dim=parse_int_list(args.group_cor_dim),
+        inverse_depth=args.inverse_depth,
+        agg_type=args.agg_type,
+        dcn=args.dcn,
+        pos_enc=args.pos_enc,
+        mono=args.mono,
+        mono_stg_itrpl=args.mono_stg_itrpl,
+        asff=args.ASFF,
+        attn_temp=args.attn_temp,
+        dtype="bfloat16" if args.bf16 else "float32",
+    )
+
+
+def make_loss_config(args):
+    from ..config import LossConfig, parse_float_list
+
+    l1_lw, ot_lw = parse_float_list(args.l1ce_lw)
+    return LossConfig(
+        stage_lw=parse_float_list(args.dlossw),
+        l1_lw=l1_lw,
+        ot_lw=ot_lw,
+        ot_iter=args.ot_iter,
+        ot_eps=args.ot_eps,
+        ot_continuous=args.ot_continous,
+        inverse_depth=args.inverse_depth,
+        mono=args.mono,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.resume:
+        assert args.mode == "train"
+        assert args.loadckpt is None
+    if args.testpath is None:
+        args.testpath = args.trainpath
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import TrainConfig, parse_lrepochs
+    from ..data import DataLoader, find_dataset_def
+    from ..models import MVS4Net
+    from ..parallel import make_mesh
+    from ..train import fit, load_weights
+
+    milestones, divisor = parse_lrepochs(args.lrepochs)
+    tcfg = TrainConfig(
+        lr=args.lr, weight_decay=args.wd, epochs=args.epochs,
+        batch_size=args.batch_size, lr_scheduler=args.lr_scheduler,
+        lr_milestones=milestones, lr_gamma_divisor=divisor, seed=args.seed,
+        summary_freq=args.summary_freq, save_freq=args.save_freq,
+        eval_freq=args.eval_freq,
+    )
+    mcfg = make_model_config(args)
+    lcfg = make_loss_config(args)
+
+    DS = find_dataset_def(args.dataset)
+    common = dict(
+        rt=args.rt, use_raw_train=args.use_raw_train,
+        pair_fname=args.pair_fname, Nlights=args.Nlights, seed=args.seed,
+    )
+    if args.dataset.startswith("blendedmvs"):
+        train_ds = DS(args.trainpath, args.trainlist, "train", args.train_nviews,
+                      robust_train=args.rt, seed=args.seed)
+        val_ds = DS(args.testpath, args.testlist, "val", args.test_nviews,
+                    robust_train=False, seed=args.seed)
+    else:
+        train_ds = DS(args.trainpath, args.trainlist, "train", args.train_nviews,
+                      args.interval_scale, **common)
+        val_ds = DS(args.testpath, args.testlist, "val", args.test_nviews,
+                    args.interval_scale, pair_fname=args.pair_fname,
+                    Nlights=args.Nlights, seed=args.seed)
+
+    n_hosts = jax.process_count()
+    host_id = jax.process_index()
+    train_loader = DataLoader(
+        train_ds, args.batch_size, shuffle=True, drop_last=True,
+        num_workers=args.dataloader_workers, num_hosts=n_hosts, host_id=host_id,
+        seed=args.seed,
+    )
+    val_loader = DataLoader(
+        val_ds, args.batch_size, num_workers=args.dataloader_workers,
+        num_hosts=n_hosts, host_id=host_id,
+    )
+
+    model = MVS4Net(mcfg)
+    sample = train_ds[0]
+    from ..data.loader import collate
+
+    init_batch = collate([sample])
+    variables = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.asarray(init_batch["imgs"]),
+        jax.tree_util.tree_map(jnp.asarray, init_batch["proj_matrices"]),
+        jnp.asarray(init_batch["depth_values"]),
+        train=True,
+    )
+    if args.loadckpt:
+        print(f"warm-starting from {args.loadckpt}")
+        variables = load_weights(args.loadckpt, dict(variables))
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"Number of model parameters: {n_params}")
+
+    devices = jax.devices()
+    mesh = make_mesh(devices) if len(devices) > 1 else None
+    to_dev = (lambda b: jax.tree_util.tree_map(jnp.asarray, b)) if mesh is None else None
+
+    fit(
+        model, variables, train_loader, val_loader, tcfg, lcfg,
+        logdir=args.logdir, resume=args.resume, mesh=mesh,
+        is_host0=host_id == 0, to_device=to_dev,
+    )
+
+
+if __name__ == "__main__":
+    main()

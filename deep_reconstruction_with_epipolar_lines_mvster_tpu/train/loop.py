@@ -1,0 +1,118 @@
+"""Epoch-level training orchestration (reference train(), train_mvs4.py:118-247).
+
+Single entry ``fit()``: builds the LR schedule (milestones in iterations =
+len(loader) * epoch, reference :120-126), jits the train/eval steps (under a
+device mesh when given), streams batches through the prefetching loader,
+logs at ``summary_freq``, checkpoints per ``save_freq`` epochs (host 0), and
+runs the validation loop per ``eval_freq`` with a ``DictAverageMeter``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import LossConfig, TrainConfig
+from .checkpoint import find_latest_checkpoint, restore_checkpoint, save_checkpoint
+from .logging import MetricWriter, format_progress
+from .metrics import DictAverageMeter
+from .schedule import make_schedule
+from .step import TrainState, make_eval_step, make_optimizer, make_train_step
+
+
+def fit(
+    model,
+    variables,
+    train_loader,
+    val_loader,
+    train_cfg: TrainConfig,
+    loss_cfg: LossConfig,
+    *,
+    logdir: str,
+    resume: bool = False,
+    mesh=None,
+    is_host0: bool = True,
+    to_device: Callable[[Dict[str, Any]], Dict[str, Any]] | None = None,
+) -> TrainState:
+    steps_per_epoch = len(train_loader)
+    milestones = [steps_per_epoch * int(e) for e in train_cfg.lr_milestones]
+    schedule = make_schedule(
+        train_cfg.lr_scheduler,
+        train_cfg.lr,
+        milestones_iters=milestones,
+        gamma=1.0 / train_cfg.lr_gamma_divisor,
+        total_steps=train_cfg.epochs * steps_per_epoch,
+        warmup_iters=train_cfg.warmup_iters,
+    )
+    tx = make_optimizer(schedule, train_cfg.weight_decay)
+    state = TrainState.create(variables, tx)
+
+    start_epoch = 0
+    if resume:
+        latest = find_latest_checkpoint(logdir)
+        if latest is not None:
+            state, start_epoch = restore_checkpoint(latest, state)
+            if is_host0:
+                print(f"resumed from {latest} at epoch {start_epoch}")
+
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch, shard_train_step
+
+        state = replicate(state, mesh)
+        train_step = shard_train_step(make_train_step(model, loss_cfg, tx), mesh)
+        put = lambda b: shard_batch(b, mesh)
+    else:
+        train_step = jax.jit(make_train_step(model, loss_cfg, tx), donate_argnums=0)
+        put = to_device or (lambda b: b)
+    eval_step = jax.jit(make_eval_step(model, loss_cfg))
+
+    writer = MetricWriter(logdir) if is_host0 else None
+
+    def strip(batch):
+        keys = ("imgs", "proj_matrices", "depth", "depth_values", "mask")
+        return {k: batch[k] for k in keys if k in batch}
+
+    for epoch in range(start_epoch, train_cfg.epochs):
+        if is_host0:
+            print(f"Epoch {epoch + 1}:")
+        train_loader.set_epoch(epoch)
+        for it, batch in enumerate(train_loader):
+            t0 = time.time()
+            global_step = steps_per_epoch * epoch + it
+            state, scalars = train_step(state, put(strip(batch)))
+            if is_host0 and global_step % train_cfg.summary_freq == 0:
+                scalars = {k: float(v) for k, v in scalars.items()}
+                writer.scalars("train", scalars, global_step)
+                print(
+                    format_progress(
+                        epoch, train_cfg.epochs, it, steps_per_epoch,
+                        float(schedule(global_step)), scalars,
+                        time.time() - t0,
+                    ),
+                    flush=True,
+                )
+
+        if is_host0 and (epoch + 1) % train_cfg.save_freq == 0:
+            save_checkpoint(logdir, epoch, jax.device_get(state))
+
+        if val_loader is not None and (
+            epoch % train_cfg.eval_freq == 0 or epoch == train_cfg.epochs - 1
+        ):
+            meter = DictAverageMeter()
+            for it, batch in enumerate(val_loader):
+                scalars = eval_step(state, put(strip(batch)))
+                scalars = {k: float(v) for k, v in scalars.items()}
+                meter.update(scalars)
+                if is_host0 and it % train_cfg.summary_freq == 0:
+                    writer.scalars("test", scalars, steps_per_epoch * epoch + it)
+            if is_host0:
+                avg = meter.mean()
+                writer.scalars("fulltest", avg, steps_per_epoch * (epoch + 1))
+                print("avg_test_scalars:", avg, flush=True)
+
+    if writer is not None:
+        writer.close()
+    return state

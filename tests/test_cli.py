@@ -1,0 +1,63 @@
+"""CLI surface tests: the reference recipe flag strings parse into the
+expected typed configs (no training run — compile cost)."""
+
+import shlex
+
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.cli.test import (
+    build_parser as build_test_parser,
+)
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.cli.train import (
+    build_parser,
+    make_loss_config,
+    make_model_config,
+)
+
+DTU_RECIPE = (
+    "--logdir /tmp/x --trainpath /tmp/d --trainlist l.txt --testlist t.txt "
+    "--dataset=dtu_yao4 --train_nviews 5 --interval_scale=1.0625 --epochs=22 "
+    "--batch_size=6 --l1ce_lw=0.003,1 --wd=0.0001 --lr=0.001 "
+    "--lrepochs=2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21:1.2 "
+    "--summary_freq 100 --group_cor --group_cor_dim=8,8,4,4 --ndepths=8,8,4,4 "
+    "--depth_inter_r=0.5,0.5,0.5,1 --rt --mono --mono_stg_itrpl=nearest "
+    "--inverse_depth --attn_temp 2 --seed 0"
+)
+
+
+def test_dtu_recipe_parses():
+    args = build_parser().parse_args(shlex.split(DTU_RECIPE))
+    mcfg = make_model_config(args)
+    assert mcfg.ndepths == (8, 8, 4, 4)
+    assert mcfg.group_cor and mcfg.group_cor_dim == (8, 8, 4, 4)
+    assert mcfg.inverse_depth and mcfg.mono
+    assert mcfg.attn_temp == 2.0
+    assert mcfg.depth_inter_r == (0.5, 0.5, 0.5, 1.0)
+
+    lcfg = make_loss_config(args)
+    assert lcfg.l1_lw == 0.003 and lcfg.ot_lw == 1.0
+    assert lcfg.stage_lw == (1.0, 1.0, 1.0, 1.0)
+    assert lcfg.inverse_depth and lcfg.mono
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        parse_lrepochs,
+    )
+
+    milestones, divisor = parse_lrepochs(args.lrepochs)
+    assert milestones[0] == 2 and milestones[-1] == 21
+    assert divisor == 1.2
+
+
+def test_eval_recipe_parses():
+    argv = shlex.split(
+        "--dataset=dataloader_eval --dataset_name=dtu --datapath /tmp/d "
+        "--testlist t.txt --loadckpt c.ckpt --outdir /tmp/o "
+        "--interval_scale=1.0625 --run_gendepth --NviewGen 4 "
+        "--depthgen_thres 0.3 --run_filter --NviewFilter 4 --photomask 0.3 "
+        "--geomask 2 --condmask_pixel 1.0 --condmask_depth 0.01 --group_cor "
+        "--group_cor_dim=8,8,4,4 --inverse_depth --attn_temp 2 --save_ply"
+    )
+    args = build_test_parser().parse_args(argv)
+    assert args.run_gendepth and args.run_filter
+    assert args.NviewGen == 4 and args.NviewFilter == 4
+    assert args.geomask == 2 and args.condmask_pixel == 1.0
+    mcfg = make_model_config(args)
+    assert mcfg.group_cor and mcfg.inverse_depth
