@@ -1,8 +1,27 @@
+from .distributed import (
+    host_mesh,
+    init_distributed,
+    is_host0,
+    reduce_scalars_across_hosts,
+    sync_hosts,
+)
 from .mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_eval_forward,
     shard_train_step,
 )
 
-__all__ = ["make_mesh", "replicate", "shard_batch", "shard_train_step"]
+__all__ = [
+    "host_mesh",
+    "init_distributed",
+    "is_host0",
+    "make_mesh",
+    "reduce_scalars_across_hosts",
+    "replicate",
+    "shard_batch",
+    "shard_eval_forward",
+    "shard_train_step",
+    "sync_hosts",
+]

@@ -83,6 +83,28 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_eval_forward(forward, mesh: Mesh):
+    """Jit an eval forward with the image height sharded over the ``space``
+    axis (and batch over ``data``) — the spatial-sharding path for high-res
+    eval (SURVEY.md §5.7: the closest thing this workload has to context
+    parallelism). The homography warp gathers across row shards; GSPMD
+    resolves them with ICI collectives automatically.
+
+    ``forward(variables, imgs, proj_matrices, depth_values)``;
+    imgs ``[B, V, H, W, 3]`` with H sharded.
+    """
+    repl = NamedSharding(mesh, P())
+    img_sharding = NamedSharding(mesh, P("data", None, "space", None, None))
+    proj_sharding = {f"stage{i}": NamedSharding(mesh, P("data")) for i in range(1, 5)}
+    dv_sharding = NamedSharding(mesh, P("data"))
+    out_sharding = NamedSharding(mesh, P("data", "space", None))
+    return jax.jit(
+        forward,
+        in_shardings=(repl, img_sharding, proj_sharding, dv_sharding),
+        out_shardings=(out_sharding, out_sharding),
+    )
+
+
 def shard_train_step(train_step, mesh: Mesh):
     """Jit the train step with replicated state and data-sharded batches.
 

@@ -1,0 +1,55 @@
+"""Spatially-sharded eval forward (space axis over image rows) matches the
+unsharded result on the virtual CPU mesh; multihost helper no-ops on one
+process."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import ModelConfig
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import MVS4Net
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel import (
+    make_mesh,
+    reduce_scalars_across_hosts,
+    replicate,
+    shard_eval_forward,
+    sync_hosts,
+)
+
+from test_model import make_inputs
+
+
+def test_space_sharded_eval_matches_unsharded():
+    cfg = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True
+    )
+    imgs, projs, dv = make_inputs(V=3, H=64, W=64)
+    model = MVS4Net(cfg)
+    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dv, train=False)
+
+    def forward(variables, imgs, projs, dv):
+        out = model.apply(variables, imgs, projs, dv, train=False)
+        return out["stage4"]["depth"], out["stage4"]["photometric_confidence"]
+
+    depth_ref, conf_ref = jax.jit(forward)(variables, imgs, projs, dv)
+
+    mesh = make_mesh(jax.devices()[:4], space=4)  # data=1 (B=1), 4-way rows
+    with mesh:
+        sharded = shard_eval_forward(forward, mesh)
+        depth_sh, conf_sh = sharded(replicate(variables, mesh), imgs, projs, dv)
+
+    # winner-take-all readout: fp reduction-order changes under sharding can
+    # flip argmax ties on a handful of pixels — require near-total agreement
+    d_sh, d_ref = np.asarray(depth_sh), np.asarray(depth_ref)
+    agree = np.isclose(d_sh, d_ref, rtol=1e-4, atol=1e-2).mean()
+    assert agree > 0.995, f"only {agree:.4f} of depths match"
+    c_sh, c_ref = np.asarray(conf_sh), np.asarray(conf_ref)
+    agree_c = np.isclose(c_sh, c_ref, rtol=1e-3, atol=1e-3).mean()
+    assert agree_c > 0.995
+
+
+def test_multihost_helpers_single_process():
+    sync_hosts()
+    out = reduce_scalars_across_hosts({"a": 1.0, "b": 2.5})
+    assert out == {"a": 1.0, "b": 2.5}
