@@ -61,6 +61,9 @@ class ModelConfig:
     attn_fuse_d: bool = True
     gn: bool = False                    # GroupNorm instead of BatchNorm in FPN
     dtype: str = "float32"              # compute dtype: float32 | bfloat16
+    remat: bool = True                  # rematerialize backbone + reg U-Nets
+                                        # (activation memory; the reference's
+                                        # analog is eager-mode `del`s)
 
     @property
     def compute_dtype(self):

@@ -148,7 +148,7 @@ class FPN4(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         b = self.base
         conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(x, train=train)
         conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(conv0, train=train)
@@ -235,7 +235,7 @@ class FPN4ConvNeXt(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         b = self.base
         conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(x, train=train)
         conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(conv0, train=train)

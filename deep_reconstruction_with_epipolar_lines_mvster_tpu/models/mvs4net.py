@@ -61,19 +61,30 @@ class MVS4Net(nn.Module):
         dtype = cfg.compute_dtype
 
         # ---- feature extraction: views folded into batch --------------------
+        # nn.remat: recompute activations in the backward pass instead of
+        # keeping every conv output live (the train step OOMs HBM at the DTU
+        # recipe shape otherwise; static_argnums=(2,) marks `train`).
+        def maybe_remat(cls):
+            return nn.remat(cls, static_argnums=(2,)) if cfg.remat else cls
+
         if cfg.arch_mode == "fpn":
-            backbone = FPN4(cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype)
+            backbone = maybe_remat(FPN4)(
+                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype
+            )
         elif cfg.arch_mode == "fpn_convnext":
-            backbone = FPN4ConvNeXt(cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype)
+            backbone = maybe_remat(FPN4ConvNeXt)(
+                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype
+            )
         elif cfg.arch_mode == "fpn_convnext4":
-            backbone = FPN4ConvNeXt(
-                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, patchify=True, dtype=dtype
+            backbone = maybe_remat(FPN4ConvNeXt)(
+                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, patchify=True,
+                dtype=dtype,
             )
         else:
             raise ValueError(f"unknown arch_mode {cfg.arch_mode!r}")
 
         folded = imgs.astype(dtype).reshape(B * V, H, W, imgs.shape[-1])
-        pyramids = backbone(folded, train=train)  # 4 x [B*V, h, w, c]
+        pyramids = backbone(folded, train)  # 4 x [B*V, h, w, c]
         feats = [
             p.reshape(B, V, *p.shape[1:]) for p in pyramids
         ]  # stage index 0 = coarsest
@@ -122,12 +133,12 @@ class MVS4Net(nn.Module):
             hypo = jnp.asarray(hypo, dtype=jnp.float32)
 
             if cfg.reg_mode == "reg2d":
-                regnet = Reg2D(
+                regnet = maybe_remat(Reg2D)(
                     base_channels=cfg.reg_channel, agg_type=cfg.agg_type, dtype=dtype,
                     name=f"reg_stage{s + 1}",
                 )
             else:
-                regnet = Reg3D(
+                regnet = maybe_remat(Reg3D)(
                     base_channels=cfg.reg_channel, down_size=REG3D_DOWN_SIZE[s],
                     dtype=dtype, name=f"reg_stage{s + 1}",
                 )
@@ -143,7 +154,7 @@ class MVS4Net(nn.Module):
             def reg_apply(vol, _regnet=regnet, _penc=penc, _hypo=hypo):
                 if _penc is not None:
                     vol = _penc(vol, _hypo)
-                return _regnet(vol, train=train)
+                return _regnet(vol, train)
 
             out = run_stage(
                 stage_views, projs, hypo, reg_apply,

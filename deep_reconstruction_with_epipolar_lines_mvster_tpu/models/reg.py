@@ -32,7 +32,7 @@ class Reg2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         b = self.base_channels
         mid = AGG_BLOCKS[self.agg_type]
         k133 = dict(kernel=(1, 3, 3))
@@ -66,7 +66,7 @@ class Reg3D(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool):
         b = self.base_channels
         k3 = dict(kernel=(3, 3, 3))
         s2 = dict(kernel=(3, 3, 3), stride=(2, 2, 2))
