@@ -64,6 +64,11 @@ class ModelConfig:
     remat: bool = True                  # rematerialize backbone + reg U-Nets
                                         # (activation memory; the reference's
                                         # analog is eager-mode `del`s)
+    warp_impl: str = "mxu"              # 'mxu' (banded-matmul, gather-free,
+                                        # TPU-fast) | 'gather' (XLA gather,
+                                        # exact fallback for any geometry)
+    warp_band: int = 16                 # source-row band for the mxu warp
+    warp_tile_rows: int = 8             # output rows per mxu warp tile
 
     @property
     def compute_dtype(self):

@@ -165,6 +165,9 @@ class MVS4Net(nn.Module):
                 attn_fuse_d=cfg.attn_fuse_d,
                 inverse_depth=cfg.inverse_depth,
                 train=train,
+                warp_impl=cfg.warp_impl,
+                warp_band=cfg.warp_band,
+                warp_tile_rows=cfg.warp_tile_rows,
             )
             if cfg.mono:
                 out["mono_feat"] = stage_views[0]  # reference view features

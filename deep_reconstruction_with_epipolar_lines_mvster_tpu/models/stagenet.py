@@ -38,11 +38,15 @@ def run_stage(
     attn_fuse_d: bool,
     inverse_depth: bool,
     train: bool,
+    warp_impl: str = "gather",
+    warp_band: int = 16,
+    warp_tile_rows: int = 8,
 ) -> Dict[str, Any]:
     cost = epipolar_aggregate(
         features, proj_stacks, depth_hypo,
         group_cor=group_cor, group_dim=group_dim,
         attn_temp=attn_temp, attn_fuse_d=attn_fuse_d,
+        impl=warp_impl, band=warp_band, tile_rows=warp_tile_rows,
     )  # [B, D, h, w, G]
 
     score = regnet(cost).astype(jnp.float32)  # [B, D, h, w]

@@ -1,0 +1,199 @@
+"""MXU-native homography warp: bilinear sampling as banded interpolation
+matmuls — no gather, no scatter.
+
+Why: XLA's TPU lowering of the per-pixel gather in the naive warp costs
+~240 ms forward and ~2.2 s backward (scatter-add) per source view at the
+DTU stage-4 shape — the train step is gather-bound. Bilinear sampling has
+1-pixel support, so it IS a (very sparse) linear operator; on TPU the fast
+way to apply it is to *densify locally*:
+
+  out[p, c] = sum_k  Wy[p, k] * ( sum_j Wx[p, j] * band[k, j, c] )
+
+with ``Wx[p, j] = relu(1 - |x_p - j|)`` over the full source width and
+``Wy[p, k] = relu(1 - |y_p - (y0 + k)|)`` over a K-row source band around the
+tile's epipolar rows. Both weight matrices come from ``broadcasted_iota``
+comparisons (VPU), the j-contraction is a dense MXU matmul, and out-of-range
+coordinates get zero weight — which reproduces ``grid_sample``'s
+zeros-padding semantics exactly (tap at -0.5 ⇒ 0.5 * src[0], matching the
+OOB-tap-is-zero rule).
+
+The row tiles stream through a ``lax.scan``: forward stacks per-tile
+outputs; the custom-VJP backward re-builds the tile weights and accumulates
+``dL/dsrc`` with contiguous ``dynamic_update_slice`` adds into the scan
+carry (in-place in the XLA while loop) — no scatter.
+
+Band coverage: K must cover the tile's source-row span. For MVS plane-sweep
+geometry the span per TR output rows is TR·(local y-scale) + epipolar tilt
+across the tile — small for real rigs. Rows falling outside the band lose
+their contribution (they get zero weight); ``band_coverage`` measures the
+violation fraction so callers/tests can size K (the default is generous).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.geometry import warp_coords
+
+
+def _tile_sample(
+    src: jnp.ndarray,        # [Hs, Ws, C]
+    coords: jnp.ndarray,     # [P, 2] pixel (x, y) for this tile
+    y_start: jnp.ndarray,    # scalar int32
+    band: int,
+) -> jnp.ndarray:            # [P, C]
+    Hs, Ws, C = src.shape
+    P = coords.shape[0]
+    x = coords[:, 0]
+    y = coords[:, 1]
+
+    js = jax.lax.broadcasted_iota(jnp.float32, (P, Ws), 1)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - js))          # [P, Ws]
+    ks = jax.lax.broadcasted_iota(jnp.float32, (P, band), 1)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(y[:, None] - (y_start.astype(jnp.float32) + ks))
+    )                                                              # [P, K]
+
+    rows = jax.lax.dynamic_slice(
+        src, (y_start, 0, 0), (band, Ws, C)
+    )                                                              # [K, Ws, C]
+    z = jax.lax.dot_general(
+        wx.astype(src.dtype),
+        rows.transpose(1, 0, 2).reshape(Ws, band * C),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(P, band, C)                                          # [P, K, C]
+    return (wy[:, :, None].astype(jnp.float32) * z).sum(axis=1).astype(src.dtype)
+
+
+def _tile_starts(coords_y: jnp.ndarray, band: int, src_h: int) -> jnp.ndarray:
+    """Per-tile band start rows: floor(min y) - 1, clamped so the K-row slice
+    stays in range. coords_y: [T, P]."""
+    y0 = jnp.floor(coords_y.min(axis=1)).astype(jnp.int32) - 1
+    return jnp.clip(y0, 0, max(src_h - band, 0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _warp_one(src, coords, band, tile_rows):
+    return _warp_one_fwd(src, coords, band, tile_rows)[0]
+
+
+def _split_tiles(coords, tile_rows):
+    D, H, W, _ = coords.shape
+    T = H // tile_rows
+    return coords.reshape(D * T, tile_rows * W, 2)
+
+
+def _warp_one_fwd(src, coords, band, tile_rows):
+    """src [Hs, Ws, C]; coords [D, H, W, 2] -> warped [D, H, W, C]."""
+    D, H, W, _ = coords.shape
+    Hs, Ws, C = src.shape
+    tiles = _split_tiles(coords, tile_rows)            # [N, P, 2]
+    starts = _tile_starts(tiles[..., 1], band, Hs)     # [N]
+
+    def body(_, xs):
+        tile_coords, y0 = xs
+        return None, _tile_sample(src, tile_coords, y0, band)
+
+    _, out = jax.lax.scan(body, None, (tiles, starts))
+    out = out.reshape(D, H // tile_rows, tile_rows, W, C).reshape(D, H, W, C)
+    return out, (src, coords)
+
+
+def _warp_one_bwd(band, tile_rows, res, g):
+    src, coords = res
+    D, H, W, _ = coords.shape
+    Hs, Ws, C = src.shape
+    tiles = _split_tiles(coords, tile_rows)
+    starts = _tile_starts(tiles[..., 1], band, Hs)
+    g_tiles = g.reshape(D, H // tile_rows, tile_rows, W, C).reshape(
+        D * (H // tile_rows), tile_rows * W, C
+    )
+
+    def body(dsrc, xs):
+        tile_coords, y0, gt = xs
+        P = tile_coords.shape[0]
+        x = tile_coords[:, 0]
+        y = tile_coords[:, 1]
+        js = jax.lax.broadcasted_iota(jnp.float32, (P, Ws), 1)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - js))
+        ks = jax.lax.broadcasted_iota(jnp.float32, (P, band), 1)
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(y[:, None] - (y0.astype(jnp.float32) + ks))
+        )
+        # d rows[k, j, c] = sum_p wx[p, j] * wy[p, k] * g[p, c]
+        wyg = (wy[:, :, None] * gt.astype(jnp.float32)[:, None, :]).reshape(
+            P, band * C
+        )
+        drows = jax.lax.dot_general(
+            wx.astype(jnp.float32), wyg,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Ws, band*C]
+        drows = drows.reshape(Ws, band, C).transpose(1, 0, 2)
+        cur = jax.lax.dynamic_slice(dsrc, (y0, 0, 0), (band, Ws, C))
+        dsrc = jax.lax.dynamic_update_slice(
+            dsrc, cur + drows.astype(dsrc.dtype), (y0, 0, 0)
+        )
+        return dsrc, None
+
+    dsrc0 = jnp.zeros_like(src, dtype=jnp.float32)
+    dsrc, _ = jax.lax.scan(body, dsrc0, (tiles, starts, g_tiles))
+    return dsrc.astype(src.dtype), None  # coords are stop-gradient
+
+
+_warp_one.defvjp(_warp_one_fwd, _warp_one_bwd)
+
+
+def homo_warp_mxu(
+    src_fea: jnp.ndarray,     # [B, Hs, Ws, C]
+    rel_proj: jnp.ndarray,    # [B, 4, 4]
+    depth_values: jnp.ndarray,  # [B, D, H, W]
+    *,
+    band: int = 16,
+    tile_rows: int = 8,
+) -> jnp.ndarray:
+    """Gather-free bilinear homography warp: ``[B,Hs,Ws,C] -> [B,D,H,W,C]``.
+
+    Drop-in replacement for the gather formulation in ``core.geometry``
+    (same zeros-padding / align_corners semantics) built entirely from
+    matmuls and contiguous slices. ``band`` bounds the per-tile source-row
+    span (see module docstring; validate with :func:`band_coverage`).
+    """
+    coords = warp_coords(rel_proj, depth_values)  # [B, D, H, W, 2], stop-grad
+    return jax.vmap(lambda s, c: _warp_one(s, c, band, tile_rows))(
+        src_fea, coords
+    )
+
+
+def band_coverage(
+    rel_proj: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    src_h: int,
+    *,
+    band: int = 16,
+    tile_rows: int = 8,
+) -> jnp.ndarray:
+    """Fraction of pixels whose bilinear y-taps fall outside the K-row band
+    (should be 0 for a correctly-sized band). Ignores rows that are fully
+    out of the source image (zeros-padding region)."""
+    coords = warp_coords(rel_proj, depth_values)
+    B = coords.shape[0]
+
+    def one(c):
+        tiles = _split_tiles(c, tile_rows)[..., 1]  # [N, P] y coords
+        starts = _tile_starts(tiles, band, src_h)[:, None]  # [N, 1] int32
+        tap0 = jnp.floor(tiles).astype(jnp.int32)
+        tap1 = tap0 + 1
+        in_band = lambda t: (t >= starts) & (t <= starts + band - 1)
+        # a tap outside the image contributes zero anyway (zeros padding)
+        covered0 = (tap0 < 0) | in_band(tap0)
+        covered1 = (tap1 >= src_h) | in_band(tap1)
+        relevant = (tiles > -1.0) & (tiles < src_h)
+        return (relevant & ~(covered0 & covered1)).mean()
+
+    return jax.vmap(one)(coords).max()

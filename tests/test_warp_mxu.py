@@ -1,0 +1,126 @@
+"""MXU (gather-free) warp vs the gather reference path: values + gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.core.geometry import (
+    grid_sample_2d,
+    relative_projection,
+    warp_coords,
+)
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.warp_mxu import (
+    band_coverage,
+    homo_warp_mxu,
+)
+
+
+def _setup(B=2, D=4, H=32, W=64, seed=0, baseline=6.0, tilt=0.02):
+    """Cameras with a mostly-horizontal baseline and slight rotation (tilted
+    epipolar lines) — the realistic MVS case the band must cover."""
+    rng = np.random.default_rng(seed)
+    f = 0.9 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], dtype=np.float32)
+    E_ref = np.eye(4, dtype=np.float32)
+    c, s = np.cos(tilt), np.sin(tilt)
+    E_src = np.eye(4, dtype=np.float32)
+    E_src[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], dtype=np.float32)
+    E_src[0, 3] = baseline
+    E_src[1, 3] = 0.3 * baseline
+
+    def stack(E):
+        st = np.zeros((2, 4, 4), dtype=np.float32)
+        st[0] = E
+        st[1, :3, :3] = K
+        return np.broadcast_to(st, (B, 2, 4, 4)).copy()
+
+    rel = relative_projection(jnp.asarray(stack(E_src)), jnp.asarray(stack(E_ref)))
+    # spatially-smooth per-pixel hypotheses (like the real schedulers):
+    # per-plane base depths plus a gentle spatial ramp
+    planes = np.linspace(40.0, 90.0, D, dtype=np.float32)
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ramp = (0.02 * xx + 0.01 * yy).astype(np.float32)
+    depth = jnp.asarray(
+        np.broadcast_to(
+            planes[None, :, None, None] * (1.0 + ramp)[None, None], (B, D, H, W)
+        ).copy()
+    )
+    src = jnp.asarray(rng.standard_normal((B, H, W, 8)).astype(np.float32))
+    return src, rel, depth
+
+
+@pytest.mark.parametrize("tile_rows,band", [(8, 16), (4, 16), (8, 32)])
+def test_matches_gather_path(tile_rows, band):
+    src, rel, depth = _setup()
+    cov = float(band_coverage(rel, depth, src.shape[1], band=band,
+                              tile_rows=tile_rows))
+    assert cov == 0.0, f"band too small for this geometry: {cov}"
+
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(src, rel, depth, band=band, tile_rows=tile_rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_gradients_match_gather_path():
+    src, rel, depth = _setup(B=1, H=16, W=64)
+
+    def loss_gather(s):
+        w = grid_sample_2d(s, warp_coords(rel, depth))
+        return (w * w + 0.3 * w).sum()
+
+    def loss_mxu(s):
+        w = homo_warp_mxu(s, rel, depth, band=16, tile_rows=4)
+        return (w * w + 0.3 * w).sum()
+
+    g_ref = jax.grad(loss_gather)(src)
+    g_got = jax.grad(loss_mxu)(src)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
+
+
+def test_zeros_padding_out_of_range():
+    """Large baseline pushes many samples out of the source image: both paths
+    must agree on the zero-padded region."""
+    src, rel, depth = _setup(B=1, H=32, W=64, baseline=40.0)
+    cov = float(band_coverage(rel, depth, 32, band=32, tile_rows=8))
+    assert cov == 0.0
+    ref = np.asarray(grid_sample_2d(src, warp_coords(rel, depth)))
+    got = np.asarray(homo_warp_mxu(src, rel, depth, band=32, tile_rows=8))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert (np.abs(ref) < 1e-6).mean() > 0.1  # the scene does go OOB
+
+
+def test_model_outputs_match_across_warp_impls():
+    """Full MVS4Net forward with warp_impl='mxu' vs 'gather': identical
+    params => near-identical depth maps."""
+    import dataclasses
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import ModelConfig
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import MVS4Net
+    from test_model import make_inputs
+
+    cfg_g = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        warp_impl="gather",
+    )
+    cfg_m = dataclasses.replace(cfg_g, warp_impl="mxu")
+    imgs, projs, dv = make_inputs(V=3, H=64, W=64)
+    model_g, model_m = MVS4Net(cfg_g), MVS4Net(cfg_m)
+    variables = model_g.init(jax.random.PRNGKey(0), imgs, projs, dv, train=False)
+    out_g = model_g.apply(variables, imgs, projs, dv, train=False)
+    out_m = model_m.apply(variables, imgs, projs, dv, train=False)
+    for s in (1, 2, 3, 4):
+        a = np.asarray(out_g[f"stage{s}"]["depth"])
+        b = np.asarray(out_m[f"stage{s}"]["depth"])
+        # tiny numeric differences can flip argmax ties on isolated pixels
+        agree = np.isclose(a, b, rtol=1e-4, atol=1e-2).mean()
+        assert agree > 0.99, f"stage{s}: only {agree} agreement"
+
+
+def test_band_coverage_flags_small_band():
+    """A steep rotation makes epipolar rows span more than a tiny band."""
+    src, rel, depth = _setup(B=1, H=64, W=64, tilt=0.5)
+    cov_small = float(band_coverage(rel, depth, 64, band=4, tile_rows=16))
+    assert cov_small > 0.0
