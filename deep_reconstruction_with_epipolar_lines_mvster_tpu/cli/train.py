@@ -204,11 +204,60 @@ def main(argv=None):
     mesh = make_mesh(devices) if len(devices) > 1 else None
     to_dev = (lambda b: jax.tree_util.tree_map(jnp.asarray, b)) if mesh is None else None
 
-    fit(
-        model, variables, train_loader, val_loader, tcfg, lcfg,
-        logdir=args.logdir, resume=args.resume, mesh=mesh,
-        is_host0=host_id == 0, to_device=to_dev,
-    )
+    if args.mode == "train":
+        fit(
+            model, variables, train_loader, val_loader, tcfg, lcfg,
+            logdir=args.logdir, resume=args.resume, mesh=mesh,
+            is_host0=host_id == 0, to_device=to_dev,
+        )
+    elif args.mode == "test":
+        # standalone validation sweep — the reference's --mode test crashes on
+        # an out-of-scope optimizer (train_mvs4.py:271); implemented working.
+        from ..train import DictAverageMeter, TrainState, make_eval_step, make_optimizer
+        from ..train.schedule import warmup_multistep
+
+        tx = make_optimizer(warmup_multistep(tcfg.lr, [1], 1.0))
+        state = TrainState.create(variables, tx)
+        eval_step = jax.jit(make_eval_step(model, lcfg))
+        meter = DictAverageMeter()
+        keys = ("imgs", "proj_matrices", "depth", "depth_values", "mask")
+        for i, batch in enumerate(val_loader):
+            batch = {k: batch[k] for k in keys if k in batch}
+            scalars = eval_step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+            meter.update({k: float(v) for k, v in scalars.items()})
+            if host_id == 0 and i % args.summary_freq == 0:
+                print(f"Eval iter {i}/{len(val_loader)} "
+                      f"loss={float(scalars['loss']):.3f}", flush=True)
+        if host_id == 0:
+            print("final", meter.mean())
+    elif args.mode == "profile":
+        # unimplemented upstream (train_mvs4.py:605-606 NotImplementedError);
+        # here: jax.profiler trace of a handful of train steps + memory stats
+        from ..train import TrainState, make_optimizer, make_train_step
+        from ..train.profiler import device_memory_stats, profile_step_fn, profile_trace
+        from ..train.schedule import warmup_multistep
+
+        tx = make_optimizer(warmup_multistep(tcfg.lr, [10_000], 0.5))
+        state = TrainState.create(variables, tx)
+        step = jax.jit(make_train_step(model, lcfg, tx))
+        keys = ("imgs", "proj_matrices", "depth", "depth_values", "mask")
+        batch = next(iter(train_loader))
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, {k: batch[k] for k in keys if k in batch}
+        )
+
+        holder = {"state": state}
+
+        def one():
+            holder["state"], sc = step(holder["state"], batch)
+            return sc
+
+        stats = profile_step_fn(one, iters=5)
+        with profile_trace(args.logdir):
+            jax.block_until_ready(one())
+        print("step stats:", stats)
+        print("memory:", device_memory_stats())
+        print(f"trace written under {args.logdir} (view in TensorBoard)")
 
 
 if __name__ == "__main__":
