@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_temp", type=float, default=2)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for the conv path")
+    p.add_argument("--warp_impl", type=str, default="mxu",
+                   choices=["mxu", "gather"],
+                   help="homography-warp implementation (ops/warp_mxu.py)")
+    p.add_argument("--warp_band", type=int, default=16)
+    p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")
     return p
@@ -105,6 +110,9 @@ def make_model_config(args):
         asff=args.ASFF,
         attn_temp=args.attn_temp,
         dtype="bfloat16" if args.bf16 else "float32",
+        warp_impl=args.warp_impl,
+        warp_band=args.warp_band,
+        warp_tile_rows=args.warp_tile_rows,
     )
 
 
