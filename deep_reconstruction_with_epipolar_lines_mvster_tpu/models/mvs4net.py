@@ -134,13 +134,14 @@ class MVS4Net(nn.Module):
 
             if cfg.reg_mode == "reg2d":
                 regnet = maybe_remat(Reg2D)(
-                    base_channels=cfg.reg_channel, agg_type=cfg.agg_type, dtype=dtype,
+                    base_channels=cfg.reg_channel, agg_type=cfg.agg_type,
+                    depth=cfg.ndepths[s], dtype=dtype,
                     name=f"reg_stage{s + 1}",
                 )
             else:
                 regnet = maybe_remat(Reg3D)(
                     base_channels=cfg.reg_channel, down_size=REG3D_DOWN_SIZE[s],
-                    dtype=dtype, name=f"reg_stage{s + 1}",
+                    depth=cfg.ndepths[s], dtype=dtype, name=f"reg_stage{s + 1}",
                 )
 
             if cfg.pos_enc == 1:
@@ -151,9 +152,12 @@ class MVS4Net(nn.Module):
             else:
                 penc = None
 
-            def reg_apply(vol, _regnet=regnet, _penc=penc, _hypo=hypo):
+            def reg_apply(vol, _regnet=regnet, _penc=penc, _hypo=hypo, _d=cfg.ndepths[s]):
+                # vol is folded [B*D, h, w, G]; pos-enc operates per-depth-bin
                 if _penc is not None:
-                    vol = _penc(vol, _hypo)
+                    N, hh, ww, cc = vol.shape
+                    v5 = vol.reshape(N // _d, _d, hh, ww, cc)
+                    vol = _penc(v5, _hypo).reshape(N, hh, ww, cc)
                 return _regnet(vol, train)
 
             out = run_stage(

@@ -1,15 +1,18 @@
-"""Cost-volume regularization U-Nets (flax, volumes ``[B, D, H, W, C]``).
+"""Cost-volume regularization U-Nets (flax).
+
+Volumes arrive FOLDED: ``[B*D, H, W, C]`` (see models/layers.py docstring for
+why). ``depth`` (the static D of the stage) is only used to unfold for the
+genuinely-3D pieces.
 
 - ``Reg2D`` (reference reg2d, mvs4net_utils.py:884-926): spatial-only
-  down/upsampling U-Net. Stride and boundary convs are (1,3,3) — run as
-  folded 2D NHWC convs on the MXU — while the mid blocks after each
-  downsample are full 3x3x3 convs selected by ``agg_type``
-  (the reference default ``ConvBnReLU3D`` or its CAM/DCAM/PAM/PDAM
-  attention variants).
+  down/upsampling U-Net. Stride and boundary convs are (1,3,3) — dense NHWC
+  2D convs on the MXU — while the mid blocks after each downsample are full
+  3x3x3 convs selected by ``agg_type`` (the reference default
+  ``ConvBnReLU3D`` or its CAM/DCAM/PAM/PDAM attention variants).
 - ``Reg3D`` (reference reg3d, mvs4net_utils.py:928-979): true volumetric
   U-Net with ``down_size`` depth control (3/3/2/2 per stage).
 
-Both emit per-hypothesis scores ``[B, D, H, W]``.
+Both emit per-hypothesis scores, folded: ``[B*D, H, W]``.
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ from .layers import (
     ConvBnReLU3D,
     DeconvBnReLU3D,
     DeconvBnReLU3D_true,
+    _fold,
+    _unfold,
 )
 
 
@@ -29,6 +34,7 @@ class Reg2D(nn.Module):
     in_channels: int = 8     # kept for doc parity; flax infers from input
     base_channels: int = 8
     agg_type: str = "ConvBnReLU3D"
+    depth: int = 1           # static D for the 3x3x3 mid blocks
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -37,67 +43,78 @@ class Reg2D(nn.Module):
         mid = AGG_BLOCKS[self.agg_type]
         k133 = dict(kernel=(1, 3, 3))
         s122 = dict(kernel=(1, 3, 3), stride=(1, 2, 2))
+        d = self.depth
 
         conv0 = ConvBnReLU3D(b, dtype=self.dtype, **k133)(x, train=train)
-        conv2 = mid(2 * b, dtype=self.dtype)(
+        conv2 = mid(2 * b, depth=d, dtype=self.dtype)(
             ConvBnReLU3D(2 * b, dtype=self.dtype, **s122)(conv0, train=train),
             train=train,
         )
-        conv4 = mid(4 * b, dtype=self.dtype)(
+        conv4 = mid(4 * b, depth=d, dtype=self.dtype)(
             ConvBnReLU3D(4 * b, dtype=self.dtype, **s122)(conv2, train=train),
             train=train,
         )
-        x = mid(8 * b, dtype=self.dtype)(
+        x = mid(8 * b, depth=d, dtype=self.dtype)(
             ConvBnReLU3D(8 * b, dtype=self.dtype, **s122)(conv4, train=train),
             train=train,
         )
         x = conv4 + DeconvBnReLU3D(4 * b, dtype=self.dtype)(x, train=train)
         x = conv2 + DeconvBnReLU3D(2 * b, dtype=self.dtype)(x, train=train)
         x = conv0 + DeconvBnReLU3D(b, dtype=self.dtype)(x, train=train)
-        # final 1x1x1 conv to a single score per hypothesis
+        # final 1x1 conv to a single score per hypothesis
         # (reference: self.prob = nn.Conv3d(8, 1, 1), mvs4net_utils.py:914)
-        score = nn.Conv(1, (1, 1, 1), padding="VALID", dtype=self.dtype)(x)
-        return score[..., 0]  # [B, D, H, W]
+        score = nn.Conv(1, (1, 1), padding="VALID", dtype=self.dtype)(x)
+        return score[..., 0]  # [B*D, H, W]
 
 
 class Reg3D(nn.Module):
     base_channels: int = 8
     down_size: int = 3
+    depth: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         b = self.base_channels
-        k3 = dict(kernel=(3, 3, 3))
-        s2 = dict(kernel=(3, 3, 3), stride=(2, 2, 2))
+        dt = self.dtype
 
-        conv0 = ConvBnReLU3D(b, dtype=self.dtype, **k3)(x, train=train)
-        conv2 = ConvBnReLU3D(2 * b, dtype=self.dtype, **k3)(
-            ConvBnReLU3D(2 * b, dtype=self.dtype, **s2)(conv0, train=train),
-            train=train,
-        )
+        x5 = _unfold(x, self.depth)
+        conv0 = _C3(b, 1, dt)(x5, train)
+        conv2 = _C3(2 * b, 1, dt)(_C3(2 * b, 2, dt)(conv0, train), train)
         if self.down_size == 3:
-            conv4 = ConvBnReLU3D(4 * b, dtype=self.dtype, **k3)(
-                ConvBnReLU3D(4 * b, dtype=self.dtype, **s2)(conv2, train=train),
-                train=train,
-            )
-            x = ConvBnReLU3D(8 * b, dtype=self.dtype, **k3)(
-                ConvBnReLU3D(8 * b, dtype=self.dtype, **s2)(conv4, train=train),
-                train=train,
-            )
-            x = conv4 + DeconvBnReLU3D_true(4 * b, dtype=self.dtype)(x, train=train)
-            x = conv2 + DeconvBnReLU3D_true(2 * b, dtype=self.dtype)(x, train=train)
-            x = conv0 + DeconvBnReLU3D_true(b, dtype=self.dtype)(x, train=train)
+            conv4 = _C3(4 * b, 1, dt)(_C3(4 * b, 2, dt)(conv2, train), train)
+            y = _C3(8 * b, 1, dt)(_C3(8 * b, 2, dt)(conv4, train), train)
+            y = conv4 + DeconvBnReLU3D_true(4 * b, dtype=dt)(y, train=train)
+            y = conv2 + DeconvBnReLU3D_true(2 * b, dtype=dt)(y, train=train)
+            y = conv0 + DeconvBnReLU3D_true(b, dtype=dt)(y, train=train)
         elif self.down_size == 2:
-            x = ConvBnReLU3D(4 * b, dtype=self.dtype, **k3)(
-                ConvBnReLU3D(4 * b, dtype=self.dtype, **s2)(conv2, train=train),
-                train=train,
-            )
-            x = conv2 + DeconvBnReLU3D_true(2 * b, dtype=self.dtype)(x, train=train)
-            x = conv0 + DeconvBnReLU3D_true(b, dtype=self.dtype)(x, train=train)
+            y = _C3(4 * b, 1, dt)(_C3(4 * b, 2, dt)(conv2, train), train)
+            y = conv2 + DeconvBnReLU3D_true(2 * b, dtype=dt)(y, train=train)
+            y = conv0 + DeconvBnReLU3D_true(b, dtype=dt)(y, train=train)
         else:
-            x = conv0 + DeconvBnReLU3D_true(b, dtype=self.dtype)(conv2, train=train)
+            y = conv0 + DeconvBnReLU3D_true(b, dtype=dt)(conv2, train=train)
         score = nn.Conv(
-            1, (3, 3, 3), padding="SAME", use_bias=False, dtype=self.dtype
+            1, (3, 3, 3), padding="SAME", use_bias=False, dtype=dt
+        )(y)
+        return _fold(score)[..., 0]  # [B*D, H, W]
+
+
+class _C3(nn.Module):
+    """3x3x3 conv + BN + ReLU on 5-D volumes (reg3d building block)."""
+
+    out_channels: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        from .layers import BN_EPS, BN_MOMENTUM
+
+        x = nn.Conv(
+            self.out_channels, (3, 3, 3), strides=(self.stride,) * 3,
+            padding="SAME", use_bias=False, dtype=self.dtype,
         )(x)
-        return score[..., 0]
+        x = nn.BatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype
+        )(x, use_running_average=not train)
+        return nn.relu(x)

@@ -42,14 +42,15 @@ def run_stage(
     warp_band: int = 16,
     warp_tile_rows: int = 8,
 ) -> Dict[str, Any]:
+    B, D, H, W = depth_hypo.shape
     cost = epipolar_aggregate(
         features, proj_stacks, depth_hypo,
         group_cor=group_cor, group_dim=group_dim,
         attn_temp=attn_temp, attn_fuse_d=attn_fuse_d,
         impl=warp_impl, band=warp_band, tile_rows=warp_tile_rows,
-    )  # [B, D, h, w, G]
+    )  # folded [B*D, h, w, G]
 
-    score = regnet(cost).astype(jnp.float32)  # [B, D, h, w]
+    score = regnet(cost).astype(jnp.float32).reshape(B, D, H, W)
 
     attn_weight = jax.nn.softmax(score, axis=1)
     idx = jnp.argmax(attn_weight, axis=1)  # [B, h, w]

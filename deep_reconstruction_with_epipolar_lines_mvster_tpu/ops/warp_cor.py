@@ -54,23 +54,42 @@ def correlate_view(
     """
     B, D, H, W = depth_hypo.shape
     C = src_fea.shape[-1]
+    warped = _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows)
+    if group_cor:
+        ref_tiled = jnp.broadcast_to(
+            ref_fea[:, None], (B, D, H, W, C)
+        ).reshape(B * D, H, W, C)
+        return _group_correlate(
+            warped.reshape(B * D, H, W, C), ref_tiled, group_dim
+        ).reshape(B, D, H, W, group_dim)
+    diff = ref_fea[:, None] - warped
+    return diff * diff  # [B, D, H, W, C]
+
+
+def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows):
+    B, D, H, W = depth_hypo.shape
     if impl == "mxu" and H % tile_rows == 0 and src_fea.shape[1] >= band:
         from .warp_mxu import homo_warp_mxu
 
-        warped = homo_warp_mxu(
+        return homo_warp_mxu(
             src_fea, rel_proj, depth_hypo, band=band, tile_rows=tile_rows
         )
-    else:
-        coords = warp_coords(rel_proj, depth_hypo)
-        warped = grid_sample_2d(src_fea, coords)  # [B, D, H, W, C]
-    if group_cor:
-        g = group_dim
-        prod = warped.reshape(B, D, H, W, g, C // g) * ref_fea.reshape(
-            B, 1, H, W, g, C // g
-        )
-        return prod.mean(axis=-1)  # [B, D, H, W, G]
-    diff = ref_fea[:, None] - warped
-    return diff * diff  # [B, D, H, W, C]
+    coords = warp_coords(rel_proj, depth_hypo)
+    return grid_sample_2d(src_fea, coords)  # [B, D, H, W, C]
+
+
+def _group_correlate(wf, ref_tiled, g):
+    """Folded group correlation: [N,H,W,C] x [N,H,W,C] -> [N,H,W,G] via
+    per-group channel slices — fused elementwise chains, no [.., G, C/G]
+    6-D intermediate (which XLA materializes with pathological padding)."""
+    C = wf.shape[-1]
+    cpg = C // g
+    cors = [
+        (wf[..., gi * cpg : (gi + 1) * cpg]
+         * ref_tiled[..., gi * cpg : (gi + 1) * cpg]).mean(axis=-1)
+        for gi in range(g)
+    ]
+    return jnp.stack(cors, axis=-1)
 
 
 def epipolar_aggregate(
@@ -86,7 +105,10 @@ def epipolar_aggregate(
     band: int = 16,
     tile_rows: int = 8,
 ) -> jnp.ndarray:
-    """Cross-view attention-weighted fused cost volume ``[B, D, H, W, G]``.
+    """Cross-view attention-weighted fused cost volume, FOLDED layout
+    ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing
+    batch-minor layouts that pad 5-D volumes ~5x on TPU; the consumer reg
+    U-Net convolves in exactly this layout).
 
     Faithful to the reference accumulation (mvs4net_utils.py:1078-1100)
     including the 1e-8 epsilon seed of the weight sum and the
@@ -94,27 +116,33 @@ def epipolar_aggregate(
     or the per-pixel max-weight variant (``attn_fuse_d=False``, ``:1079-1081``).
     """
     ref_fea = features[0]
-    C = ref_fea.shape[-1]
+    B, H, W, C = ref_fea.shape
+    D = depth_hypo.shape[1]
     ref_stack = proj_stacks[:, 0]
+    ref_tiled = jnp.broadcast_to(ref_fea[:, None], (B, D, H, W, C)).reshape(
+        B * D, H, W, C
+    )
     acc = 0.0
     norm = 1e-8
     for v in range(1, len(features)):
         rel = relative_projection(proj_stacks[:, v], ref_stack)
-        cor = correlate_view(
-            features[v], ref_fea, rel, depth_hypo,
-            group_cor=group_cor, group_dim=group_dim,
-            impl=impl, band=band, tile_rows=tile_rows,
-        )  # [B, D, H, W, G]
+        wf = _warp(features[v], rel, depth_hypo, impl, band, tile_rows).reshape(
+            B * D, H, W, C
+        )
+        if group_cor:
+            cor = _group_correlate(wf, ref_tiled, group_dim)  # [BD, H, W, G]
+        else:
+            diff = ref_tiled - wf
+            cor = diff * diff
+        cor_sum = cor.sum(axis=-1).reshape(B, D, H, W)
         if attn_fuse_d:
-            w = jax.nn.softmax(
-                cor.sum(axis=-1) / attn_temp, axis=1
-            ) / math.sqrt(C)  # [B, D, H, W]
-            acc = acc + w[..., None] * cor
+            w = jax.nn.softmax(cor_sum / attn_temp, axis=1) / math.sqrt(C)
+            w = w.reshape(B * D, H, W, 1)
+            acc = acc + w * cor
             norm = norm + w
         else:
-            w = jax.nn.softmax(cor.sum(axis=-1), axis=1).max(axis=1)  # [B, H, W]
-            acc = acc + w[:, None, :, :, None] * cor
+            w = jax.nn.softmax(cor_sum, axis=1).max(axis=1)  # [B, H, W]
+            w = jnp.broadcast_to(w[:, None], (B, D, H, W)).reshape(B * D, H, W, 1)
+            acc = acc + w * cor
             norm = norm + w
-    if attn_fuse_d:
-        return acc / norm[..., None]
-    return acc / norm[:, None, :, :, None]
+    return acc / norm  # [B*D, H, W, G]
