@@ -1,3 +1,3 @@
-from .sinkhorn_kernel import sinkhorn_loss_pallas
+from .warp_kernel import warp_tiles_pallas
 
-__all__ = ["sinkhorn_loss_pallas"]
+__all__ = ["warp_tiles_pallas"]

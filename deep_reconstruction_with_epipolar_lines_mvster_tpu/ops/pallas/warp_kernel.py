@@ -1,0 +1,113 @@
+"""Pallas TPU kernel for the banded-matmul homography warp (forward).
+
+Same math as ``ops/warp_mxu`` (bilinear sampling as a banded interpolation
+matmul — see that module's docstring) but with the interpolation weight
+matrices built **in VMEM** instead of materialized in HBM per tile, and the
+source-row band DMA'd directly from HBM:
+
+  per grid cell (b, tile):
+    DMA   band   <- src_t[b, :, y0:y0+BAND, :]   (src pre-transposed to
+                                                  [B, Ws, Hs, C] so the band
+                                                  is [Ws, BAND, C]-contiguous)
+    VPU   wx     =  relu(1 - |x_p - iota_j|)     (built per P-chunk)
+    VPU   wy     =  relu(1 - |y_p - (y0 + iota_k)|)
+    MXU   z      =  wx @ band.reshape(Ws, BAND*C)
+    VPU   out    =  sum_k wy * z
+
+Mosaic has no dynamic vector gather (probed), which is why the dense banded
+formulation is used at all. The backward stays on the XLA scan path
+(contiguous dynamic-update-slice adds — see ops/warp_mxu._warp_one_bwd).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(starts_ref, x_ref, y_ref, src_t_ref, out_ref, band_vmem, sem,
+            *, band: int, chunk: int):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    y0 = starts_ref[b, n]
+
+    cp = pltpu.make_async_copy(
+        src_t_ref.at[b, :, pl.ds(y0, band)], band_vmem, sem
+    )
+    cp.start()
+
+    P = x_ref.shape[2]
+    Ws = src_t_ref.shape[1]
+    C = src_t_ref.shape[3]
+    y0f = y0.astype(jnp.float32)
+
+    cp.wait()
+    rows2d = band_vmem[:].reshape(Ws, band * C)
+
+    def body(i, _):
+        x = x_ref[0, 0, pl.ds(i * chunk, chunk)].reshape(chunk, 1)
+        y = y_ref[0, 0, pl.ds(i * chunk, chunk)].reshape(chunk, 1)
+        js = jax.lax.broadcasted_iota(jnp.float32, (chunk, Ws), 1)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - js))
+        ks = jax.lax.broadcasted_iota(jnp.float32, (chunk, band), 1)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + ks)))
+        z = jnp.dot(
+            wx.astype(rows2d.dtype), rows2d, preferred_element_type=jnp.float32
+        ).reshape(chunk, band, C)
+        out_ref[0, 0, pl.ds(i * chunk, chunk)] = (
+            (wy[:, :, None] * z).sum(axis=1).astype(out_ref.dtype)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, P // chunk, body, 0)
+
+
+def warp_tiles_pallas(
+    src: jnp.ndarray,       # [B, Hs, Ws, C]
+    xcoords: jnp.ndarray,   # [B, N, P] f32
+    ycoords: jnp.ndarray,   # [B, N, P] f32
+    starts: jnp.ndarray,    # [B, N] int32
+    *,
+    band: int,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:           # [B, N, P, C]
+    B, Hs, Ws, C = src.shape
+    _, N, P = xcoords.shape
+    if P % chunk:
+        chunk = P  # tiny tiles: single chunk
+    src_t = jnp.swapaxes(src, 1, 2)  # [B, Ws, Hs, C]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, P), lambda b, n, starts: (b, n, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, P), lambda b, n, starts: (b, n, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # src_t stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, P, C), lambda b, n, starts: (b, n, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Ws, band, C), src.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, band=band, chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((B, N, P, C), src.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, xcoords, ycoords, src_t)

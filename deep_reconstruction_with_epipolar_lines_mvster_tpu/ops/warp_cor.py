@@ -68,11 +68,16 @@ def correlate_view(
 
 def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows):
     B, D, H, W = depth_hypo.shape
-    if impl == "mxu" and H % tile_rows == 0 and src_fea.shape[1] >= band:
+    if (
+        impl in ("mxu", "mxu_pallas")
+        and H % tile_rows == 0
+        and src_fea.shape[1] >= band
+    ):
         from .warp_mxu import homo_warp_mxu
 
         return homo_warp_mxu(
-            src_fea, rel_proj, depth_hypo, band=band, tile_rows=tile_rows
+            src_fea, rel_proj, depth_hypo, band=band, tile_rows=tile_rows,
+            use_pallas=impl == "mxu_pallas",
         )
     coords = warp_coords(rel_proj, depth_hypo)
     return grid_sample_2d(src_fea, coords)  # [B, D, H, W, C]

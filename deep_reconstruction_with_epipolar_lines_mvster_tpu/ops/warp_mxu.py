@@ -149,6 +149,42 @@ def _warp_one_bwd(band, tile_rows, res, g):
 _warp_one.defvjp(_warp_one_fwd, _warp_one_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _warp_batched_pallas(src, coords, band, tile_rows):
+    return _warp_batched_pallas_fwd(src, coords, band, tile_rows)[0]
+
+
+def _warp_batched_pallas_fwd(src, coords, band, tile_rows):
+    """Forward through the Pallas tile kernel (ops/pallas/warp_kernel);
+    interpret mode off-TPU so the same code path is testable on CPU."""
+    from .pallas.warp_kernel import warp_tiles_pallas
+
+    B, Hs, Ws, C = src.shape
+    _, D, H, W, _ = coords.shape
+    tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
+    starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = warp_tiles_pallas(
+        src, tiles[..., 0], tiles[..., 1], starts.astype(jnp.int32),
+        band=band, interpret=interpret,
+    )  # [B, N, P, C]
+    out = out.reshape(B, D, H // tile_rows, tile_rows, W, C).reshape(
+        B, D, H, W, C
+    )
+    return out, (src, coords)
+
+
+def _warp_batched_pallas_bwd(band, tile_rows, res, g):
+    src, coords = res
+    dsrc = jax.vmap(
+        lambda s, c, gg: _warp_one_bwd(band, tile_rows, (s, c), gg)[0]
+    )(src, coords, g)
+    return dsrc, None
+
+
+_warp_batched_pallas.defvjp(_warp_batched_pallas_fwd, _warp_batched_pallas_bwd)
+
+
 def homo_warp_mxu(
     src_fea: jnp.ndarray,     # [B, Hs, Ws, C]
     rel_proj: jnp.ndarray,    # [B, 4, 4]
@@ -156,6 +192,7 @@ def homo_warp_mxu(
     *,
     band: int = 16,
     tile_rows: int = 8,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Gather-free bilinear homography warp: ``[B,Hs,Ws,C] -> [B,D,H,W,C]``.
 
@@ -163,8 +200,12 @@ def homo_warp_mxu(
     (same zeros-padding / align_corners semantics) built entirely from
     matmuls and contiguous slices. ``band`` bounds the per-tile source-row
     span (see module docstring; validate with :func:`band_coverage`).
+    ``use_pallas`` runs the forward through the Pallas tile kernel (weights
+    built in VMEM — no per-tile HBM weight traffic).
     """
     coords = warp_coords(rel_proj, depth_values)  # [B, D, H, W, 2], stop-grad
+    if use_pallas:
+        return _warp_batched_pallas(src_fea, coords, band, tile_rows)
     return jax.vmap(lambda s, c: _warp_one(s, c, band, tile_rows))(
         src_fea, coords
     )

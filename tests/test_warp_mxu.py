@@ -63,6 +63,26 @@ def test_matches_gather_path(tile_rows, band):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_pallas_kernel_matches_scan_path():
+    """Pallas tile kernel (interpret mode on CPU) vs the XLA scan forward,
+    values + gradients."""
+    src, rel, depth = _setup(B=2, H=32, W=64)
+    ref = homo_warp_mxu(src, rel, depth, band=16, tile_rows=8)
+    got = homo_warp_mxu(src, rel, depth, band=16, tile_rows=8, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda s: (homo_warp_mxu(s, rel, depth, band=16, tile_rows=8) ** 2).sum()
+    )(src)
+    g_got = jax.grad(
+        lambda s: (
+            homo_warp_mxu(s, rel, depth, band=16, tile_rows=8, use_pallas=True) ** 2
+        ).sum()
+    )(src)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
+
+
 def test_gradients_match_gather_path():
     src, rel, depth = _setup(B=1, H=16, W=64)
 
