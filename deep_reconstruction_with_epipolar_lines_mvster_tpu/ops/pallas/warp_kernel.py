@@ -9,14 +9,17 @@ source-row band DMA'd directly from HBM:
     DMA   band   <- src_t[b, :, y0:y0+BAND, :]   (src pre-transposed to
                                                   [B, Ws, Hs, C] so the band
                                                   is [Ws, BAND, C]-contiguous)
-    VPU   wx     =  relu(1 - |x_p - iota_j|)     (built per P-chunk)
-    VPU   wy     =  relu(1 - |y_p - (y0 + iota_k)|)
-    MXU   z      =  wx @ band.reshape(Ws, BAND*C)
-    VPU   out    =  sum_k wy * z
+    per output row r of the tile:
+      VPU   wx   =  relu(1 - |x_p - iota_j|)        [W, Ws]
+      VPU   wy   =  relu(1 - |y_p - (y0 + iota_k)|) [W, BAND]
+      MXU   z    =  wx @ band.reshape(Ws, BAND*C)   [W, BAND*C]
+      VPU   out  =  sum_k wy * z                    [W, C]
 
 Mosaic has no dynamic vector gather (probed), which is why the dense banded
-formulation is used at all. The backward stays on the XLA scan path
-(contiguous dynamic-update-slice adds — see ops/warp_mxu._warp_one_bwd).
+formulation is used at all. Coordinate blocks are shaped ``[1,1,TR,W]`` and
+outputs ``[1,1,TR,W,C]`` to satisfy the TPU (8,128) block-tiling rule. The
+backward stays on the XLA scan path (contiguous dynamic-update-slice adds —
+see ops/warp_mxu._warp_one_bwd).
 """
 
 from __future__ import annotations
@@ -30,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(starts_ref, x_ref, y_ref, src_t_ref, out_ref, band_vmem, sem,
-            *, band: int, chunk: int):
+            *, band: int, tile_rows: int):
     b = pl.program_id(0)
     n = pl.program_id(1)
     y0 = starts_ref[b, n]
@@ -40,46 +43,41 @@ def _kernel(starts_ref, x_ref, y_ref, src_t_ref, out_ref, band_vmem, sem,
     )
     cp.start()
 
-    P = x_ref.shape[2]
     Ws = src_t_ref.shape[1]
     C = src_t_ref.shape[3]
+    W = x_ref.shape[3]
     y0f = y0.astype(jnp.float32)
 
     cp.wait()
     rows2d = band_vmem[:].reshape(Ws, band * C)
 
-    def body(i, _):
-        x = x_ref[0, 0, pl.ds(i * chunk, chunk)].reshape(chunk, 1)
-        y = y_ref[0, 0, pl.ds(i * chunk, chunk)].reshape(chunk, 1)
-        js = jax.lax.broadcasted_iota(jnp.float32, (chunk, Ws), 1)
+    def row(i, _):
+        x = jnp.transpose(x_ref[0, 0, pl.ds(i, 1), :], (1, 0))  # [W, 1]
+        y = jnp.transpose(y_ref[0, 0, pl.ds(i, 1), :], (1, 0))
+        js = jax.lax.broadcasted_iota(jnp.float32, (W, Ws), 1)
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - js))
-        ks = jax.lax.broadcasted_iota(jnp.float32, (chunk, band), 1)
+        ks = jax.lax.broadcasted_iota(jnp.float32, (W, band), 1)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + ks)))
         z = jnp.dot(
             wx.astype(rows2d.dtype), rows2d, preferred_element_type=jnp.float32
-        ).reshape(chunk, band, C)
-        out_ref[0, 0, pl.ds(i * chunk, chunk)] = (
-            (wy[:, :, None] * z).sum(axis=1).astype(out_ref.dtype)
-        )
+        ).reshape(W, band, C)
+        out_ref[0, 0, i] = (wy[:, :, None] * z).sum(axis=1).astype(out_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, P // chunk, body, 0)
+    jax.lax.fori_loop(0, tile_rows, row, 0)
 
 
 def warp_tiles_pallas(
     src: jnp.ndarray,       # [B, Hs, Ws, C]
-    xcoords: jnp.ndarray,   # [B, N, P] f32
-    ycoords: jnp.ndarray,   # [B, N, P] f32
+    xcoords: jnp.ndarray,   # [B, N, TR, W] f32
+    ycoords: jnp.ndarray,   # [B, N, TR, W] f32
     starts: jnp.ndarray,    # [B, N] int32
     *,
     band: int,
-    chunk: int = 512,
     interpret: bool = False,
-) -> jnp.ndarray:           # [B, N, P, C]
+) -> jnp.ndarray:           # [B, N, TR, W, C]
     B, Hs, Ws, C = src.shape
-    _, N, P = xcoords.shape
-    if P % chunk:
-        chunk = P  # tiny tiles: single chunk
+    _, N, TR, W = xcoords.shape
     src_t = jnp.swapaxes(src, 1, 2)  # [B, Ws, Hs, C]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -87,17 +85,17 @@ def warp_tiles_pallas(
         grid=(B, N),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, P), lambda b, n, starts: (b, n, 0),
+                (1, 1, TR, W), lambda b, n, starts: (b, n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, P), lambda b, n, starts: (b, n, 0),
+                (1, 1, TR, W), lambda b, n, starts: (b, n, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # src_t stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, P, C), lambda b, n, starts: (b, n, 0, 0),
+            (1, 1, TR, W, C), lambda b, n, starts: (b, n, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -106,8 +104,8 @@ def warp_tiles_pallas(
         ],
     )
     return pl.pallas_call(
-        functools.partial(_kernel, band=band, chunk=chunk),
-        out_shape=jax.ShapeDtypeStruct((B, N, P, C), src.dtype),
+        functools.partial(_kernel, band=band, tile_rows=TR),
+        out_shape=jax.ShapeDtypeStruct((B, N, TR, W, C), src.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(starts, xcoords, ycoords, src_t)

@@ -163,14 +163,14 @@ def _warp_batched_pallas_fwd(src, coords, band, tile_rows):
     _, D, H, W, _ = coords.shape
     tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
     starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    N = tiles.shape[1]
+    xg = tiles[..., 0].reshape(B, N, tile_rows, W)
+    yg = tiles[..., 1].reshape(B, N, tile_rows, W)
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = warp_tiles_pallas(
-        src, tiles[..., 0], tiles[..., 1], starts.astype(jnp.int32),
-        band=band, interpret=interpret,
-    )  # [B, N, P, C]
-    out = out.reshape(B, D, H // tile_rows, tile_rows, W, C).reshape(
-        B, D, H, W, C
-    )
+        src, xg, yg, starts.astype(jnp.int32), band=band, interpret=interpret,
+    )  # [B, N, TR, W, C]
+    out = out.reshape(B, D, H, W, C)
     return out, (src, coords)
 
 
