@@ -156,19 +156,29 @@ def _warp_batched_pallas(src, coords, band, tile_rows):
 
 def _warp_batched_pallas_fwd(src, coords, band, tile_rows):
     """Forward through the Pallas tile kernel (ops/pallas/warp_kernel);
-    interpret mode off-TPU so the same code path is testable on CPU."""
+    interpret mode off-TPU so the same code path is testable on CPU.
+
+    Band starts are aligned down to multiples of ``A = 128 // C`` rows (the
+    lane tiling of the merged (row, channel) axis the kernel DMAs from) and
+    the band widened by A rows — a wider band only adds correctly-weighted
+    rows, so the result is unchanged."""
     from .pallas.warp_kernel import warp_tiles_pallas
 
     B, Hs, Ws, C = src.shape
     _, D, H, W, _ = coords.shape
+    align = max(1, 128 // C)
+    band_al = -(-band // align) * align + align
     tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
     starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    starts = (starts // align) * align
+    starts = jnp.clip(starts, 0, max(((Hs - band_al) // align) * align, 0))
     N = tiles.shape[1]
     xg = tiles[..., 0].reshape(B, N, tile_rows, W)
     yg = tiles[..., 1].reshape(B, N, tile_rows, W)
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = warp_tiles_pallas(
-        src, xg, yg, starts.astype(jnp.int32), band=band, interpret=interpret,
+        src, xg, yg, starts.astype(jnp.int32), band=band_al,
+        align=align, interpret=interpret,
     )  # [B, N, TR, W, C]
     out = out.reshape(B, D, H, W, C)
     return out, (src, coords)
@@ -205,7 +215,12 @@ def homo_warp_mxu(
     """
     coords = warp_coords(rel_proj, depth_values)  # [B, D, H, W, 2], stop-grad
     if use_pallas:
-        return _warp_batched_pallas(src_fea, coords, band, tile_rows)
+        Hs, C = src_fea.shape[1], src_fea.shape[-1]
+        align = max(1, 128 // C)
+        band_al = -(-band // align) * align + align
+        if band_al <= Hs and Hs % align == 0:
+            return _warp_batched_pallas(src_fea, coords, band, tile_rows)
+        # shapes too small for the aligned-band kernel: scan fallback
     return jax.vmap(lambda s, c: _warp_one(s, c, band, tile_rows))(
         src_fea, coords
     )
