@@ -5,6 +5,13 @@ depth-maps per second (reference prints this per run, test_mvs4.py:408-427,600;
 BASELINE.md) — at the canonical eval shape: 512x640, NviewGen=4 views, the
 DTU recipe model (group_cor 8,8,4,4 / inverse depth / attn_temp 2).
 
+Measurement method: N data-dependent forward passes chained inside ONE jitted
+``lax.scan`` (each iteration perturbs the input with the previous result so
+the device must execute them sequentially), then a scalar fetch. This is
+robust on backends where ``block_until_ready`` acks dispatch rather than
+completion (the remote-tunnel backend here does exactly that — probed) and
+avoids timing host<->device transfer of full depth maps.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no number for this metric (BASELINE.json published={})
 so vs_baseline is the ratio against the first recorded bench of this repo if
@@ -20,11 +27,14 @@ import time
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
     model = ge._dtu_model()
-    batch = ge._example_batch(B=1, V=4, H=512, W=640)
+    B = 8
+    CHAIN = 10
+    batch = ge._example_batch(B=B, V=4, H=512, W=640)
     variables = model.init(
         jax.random.PRNGKey(0),
         batch["imgs"],
@@ -34,24 +44,29 @@ def main():
     )
 
     @jax.jit
-    def fn(variables, imgs, projs, dv):
-        out = model.apply(variables, imgs, projs, dv, train=False)
-        return out["stage4"]["depth"], out["stage4"]["photometric_confidence"]
+    def chained(variables, imgs, projs, dv):
+        def body(carry, _):
+            out = model.apply(
+                variables, imgs + carry * 1e-12, projs, dv, train=False
+            )
+            d = out["stage4"]["depth"]
+            return d.mean().astype(imgs.dtype), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), imgs.dtype), length=CHAIN)
+        return c
 
     args = (variables, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
 
-    # warmup / compile
-    for _ in range(2):
-        d, c = fn(*args)
-        jax.block_until_ready((d, c))
+    # warmup / compile; scalar fetch forces real completion
+    float(chained(*args))
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        d, c = fn(*args)
-    jax.block_until_ready((d, c))
-    dt = time.perf_counter() - t0
-    maps_per_s = iters / dt
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(chained(*args))  # host read of the scalar = true completion
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    maps_per_s = (B * CHAIN) / lat[len(lat) // 2]
 
     baseline = None
     for fname in sorted(os.listdir(".")):
