@@ -32,16 +32,10 @@ def main():
     import __graft_entry__ as ge
 
     model = ge._dtu_model()
-    B = 8
-    CHAIN = 10
+    B = 4
+    CHAIN = 5
     batch = ge._example_batch(B=B, V=4, H=512, W=640)
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        batch["imgs"],
-        batch["proj_matrices"],
-        batch["depth_values"],
-        train=False,
-    )
+    variables = ge._init_on_cpu(model, batch)
 
     @jax.jit
     def chained(variables, imgs, projs, dv):
@@ -61,7 +55,7 @@ def main():
     float(chained(*args))
 
     lat = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         float(chained(*args))  # host read of the scalar = true completion
         lat.append(time.perf_counter() - t0)
