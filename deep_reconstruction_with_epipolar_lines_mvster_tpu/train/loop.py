@@ -83,8 +83,14 @@ def fit(
             t0 = time.time()
             global_step = steps_per_epoch * epoch + it
             state, scalars = train_step(state, put(strip(batch)))
+            if global_step % train_cfg.summary_freq == 0:
+                # cross-host mean (reference reduce_scalar_outputs analog)
+                from ..parallel import reduce_scalars_across_hosts
+
+                scalars = reduce_scalars_across_hosts(
+                    {k: float(v) for k, v in scalars.items()}
+                )
             if is_host0 and global_step % train_cfg.summary_freq == 0:
-                scalars = {k: float(v) for k, v in scalars.items()}
                 writer.scalars("train", scalars, global_step)
                 print(
                     format_progress(

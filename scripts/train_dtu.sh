@@ -5,6 +5,11 @@
 # (MVS4Net.py:51-52); this recipe matches the reference's *effective*
 # behaviour (no positional encoding). Add --pos_enc 2 explicitly to enable
 # the (wired) learned encoding here.
+# Note: the reference also passes --l1ce_lw "0.003,1" but its loss reads a
+# differently-named kwarg, so the mono L1 weight was effectively 0 upstream
+# (train_mvs4.py:337 vs MVS4Net.py:197). Here the weight is applied as
+# written (0.003) — pass --l1ce_lw "0,1" to reproduce the reference's
+# effective training exactly.
 set -euo pipefail
 
 TRAIN_DATASET=${TRAIN_DATASET:-/data/DTU/mvs_training_512x640}
