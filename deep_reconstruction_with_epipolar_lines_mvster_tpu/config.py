@@ -69,6 +69,10 @@ class ModelConfig:
                                         # exact fallback for any geometry)
     warp_band: int = 16                 # source-row band for the mxu warp
     warp_tile_rows: int = 8             # output rows per mxu warp tile
+    warp_xband: int = 0                 # source-column band per chunk (0=off;
+                                        # measured slower than full-width on
+                                        # v5e — see BENCH_NOTES.md x-banding)
+    warp_tile_cols: int = 128           # output cols per mxu warp chunk
 
     @property
     def compute_dtype(self):

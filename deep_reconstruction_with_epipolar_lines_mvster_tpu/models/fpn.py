@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..core.geometry import grid_sample_2d, resize_align_corners, upsample_nearest_2x
-from .layers import BN_EPS, BN_MOMENTUM, ConvBnReLU
+from .layers import BN_EPS, BN_MOMENTUM, ConvBnReLU, TorchBatchNorm
 
 
 class DeformConv2d(nn.Module):
@@ -81,6 +81,7 @@ class NADCN(nn.Module):
 
     channels: int
     gn: bool = False
+    view_groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -90,9 +91,10 @@ class NADCN(nn.Module):
                 num_groups=max(1, self.channels // 8), epsilon=1e-5, dtype=self.dtype
             )(x)
         else:
-            x = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype)(
-                x, use_running_average=not train
-            )
+            x = TorchBatchNorm(
+                momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+                name="BatchNorm_0",
+            )(x, use_running_average=not train, groups=self.view_groups)
         x = nn.relu(x)
         return DeformConv2d(self.channels, dtype=self.dtype)(x)
 
@@ -103,6 +105,7 @@ class _TopDown(nn.Module):
     base: int
     gn: bool
     dcn: bool
+    view_groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -131,10 +134,11 @@ class _TopDown(nn.Module):
         o4 = out4(intra)
 
         if self.dcn:
-            o1 = NADCN(8 * b, gn=self.gn, dtype=self.dtype)(o1, train=train)
-            o2 = NADCN(4 * b, gn=self.gn, dtype=self.dtype)(o2, train=train)
-            o3 = NADCN(2 * b, gn=self.gn, dtype=self.dtype)(o3, train=train)
-            o4 = NADCN(b, gn=self.gn, dtype=self.dtype)(o4, train=train)
+            vg = self.view_groups
+            o1 = NADCN(8 * b, gn=self.gn, view_groups=vg, dtype=self.dtype)(o1, train=train)
+            o2 = NADCN(4 * b, gn=self.gn, view_groups=vg, dtype=self.dtype)(o2, train=train)
+            o3 = NADCN(2 * b, gn=self.gn, view_groups=vg, dtype=self.dtype)(o3, train=train)
+            o4 = NADCN(b, gn=self.gn, view_groups=vg, dtype=self.dtype)(o4, train=train)
         # stage1 = coarsest (1/8), stage4 = full res — reference key order
         return (o1, o2, o3, o4)
 
@@ -145,29 +149,39 @@ class FPN4(nn.Module):
     base: int = 8
     gn: bool = False
     dcn: bool = False
+    # train-mode BN statistics per view group on the view-folded batch
+    # (the reference runs the FPN once per view, MVS4Net.py:78-80)
+    view_groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         b = self.base
-        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(x, train=train)
-        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(conv0, train=train)
 
-        conv1 = ConvBnReLU(2 * b, 5, stride=2, gn=self.gn, dtype=self.dtype)(conv0, train=train)
-        conv1 = ConvBnReLU(2 * b, 3, gn=self.gn, dtype=self.dtype)(conv1, train=train)
-        conv1 = ConvBnReLU(2 * b, 3, gn=self.gn, dtype=self.dtype)(conv1, train=train)
+        def cbr(ch, k, stride=1):
+            return ConvBnReLU(
+                ch, k, stride=stride, gn=self.gn, view_groups=self.view_groups,
+                dtype=self.dtype,
+            )
 
-        conv2 = ConvBnReLU(4 * b, 5, stride=2, gn=self.gn, dtype=self.dtype)(conv1, train=train)
-        conv2 = ConvBnReLU(4 * b, 3, gn=self.gn, dtype=self.dtype)(conv2, train=train)
-        conv2 = ConvBnReLU(4 * b, 3, gn=self.gn, dtype=self.dtype)(conv2, train=train)
+        conv0 = cbr(b, 3)(x, train=train)
+        conv0 = cbr(b, 3)(conv0, train=train)
 
-        conv3 = ConvBnReLU(8 * b, 5, stride=2, gn=self.gn, dtype=self.dtype)(conv2, train=train)
-        conv3 = ConvBnReLU(8 * b, 3, gn=self.gn, dtype=self.dtype)(conv3, train=train)
-        conv3 = ConvBnReLU(8 * b, 3, gn=self.gn, dtype=self.dtype)(conv3, train=train)
+        conv1 = cbr(2 * b, 5, stride=2)(conv0, train=train)
+        conv1 = cbr(2 * b, 3)(conv1, train=train)
+        conv1 = cbr(2 * b, 3)(conv1, train=train)
 
-        return _TopDown(self.base, self.gn, self.dcn, dtype=self.dtype)(
-            conv0, conv1, conv2, conv3, train=train
-        )
+        conv2 = cbr(4 * b, 5, stride=2)(conv1, train=train)
+        conv2 = cbr(4 * b, 3)(conv2, train=train)
+        conv2 = cbr(4 * b, 3)(conv2, train=train)
+
+        conv3 = cbr(8 * b, 5, stride=2)(conv2, train=train)
+        conv3 = cbr(8 * b, 3)(conv3, train=train)
+        conv3 = cbr(8 * b, 3)(conv3, train=train)
+
+        return _TopDown(
+            self.base, self.gn, self.dcn, self.view_groups, dtype=self.dtype
+        )(conv0, conv1, conv2, conv3, train=train)
 
 
 class ConvNeXtBlock(nn.Module):
@@ -183,8 +197,9 @@ class ConvNeXtBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         d2 = 2 * self.dim
+        # torch pad=3 (reference convnext_block :539); SAME mismatches at stride 2
         x = nn.Conv(
-            d2, (7, 7), strides=(2, 2), padding="SAME",
+            d2, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             feature_group_count=self.dim, dtype=self.dtype,
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
@@ -232,20 +247,25 @@ class FPN4ConvNeXt(nn.Module):
     gn: bool = False
     dcn: bool = False
     patchify: bool = False
+    view_groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         b = self.base
-        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(x, train=train)
-        conv0 = ConvBnReLU(b, 3, gn=self.gn, dtype=self.dtype)(conv0, train=train)
+        conv0 = ConvBnReLU(
+            b, 3, gn=self.gn, view_groups=self.view_groups, dtype=self.dtype
+        )(x, train=train)
+        conv0 = ConvBnReLU(
+            b, 3, gn=self.gn, view_groups=self.view_groups, dtype=self.dtype
+        )(conv0, train=train)
         block = ConvNeXt4Block if self.patchify else ConvNeXtBlock
         conv1 = block(b, dtype=self.dtype)(conv0)
         conv2 = block(2 * b, dtype=self.dtype)(conv1)
         conv3 = block(4 * b, dtype=self.dtype)(conv2)
-        return _TopDown(self.base, self.gn, self.dcn, dtype=self.dtype)(
-            conv0, conv1, conv2, conv3, train=train
-        )
+        return _TopDown(
+            self.base, self.gn, self.dcn, self.view_groups, dtype=self.dtype
+        )(conv0, conv1, conv2, conv3, train=train)
 
 
 class ASFF(nn.Module):

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 # torch BatchNorm defaults: momentum 0.1 (=> flax momentum 0.9), eps 1e-5.
@@ -28,14 +30,87 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch ``_BatchNorm`` train semantics.
+
+    Differences from ``nn.BatchNorm`` (both matter for parity with the
+    reference, verified in tests/test_torch_parity.py):
+
+    - the running-var update uses the UNBIASED batch variance (torch
+      normalizes with the biased one but accumulates ``n/(n-1)`` corrected
+      stats; flax accumulates biased),
+    - ``groups`` > 1 computes/applies train-mode statistics per contiguous
+      batch group. The reference loops its FPN once per view
+      (``MVS4Net.py:78-80``), so each view is normalized by its OWN batch
+      stats and the running stats receive V sequential momentum updates; this
+      module reproduces that on the view-folded ``[B*V, H, W, C]`` layout
+      (fold index ``b*V + v``) in one pass — the sequential update has the
+      closed form ``m^G r + (1-m) Σ_v m^(G-1-v) s_v``.
+
+    Variable names/collections match ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var) so checkpoints and the torch transplant are
+    layout-compatible.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, use_running_average: bool, groups: int = 1):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((C,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
+        )
+
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            y = (xf - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
+        else:
+            G = groups
+            N = x.shape[0]
+            assert N % G == 0, f"batch {N} not divisible by view groups {G}"
+            spatial = x.shape[1:-1]
+            xg = xf.reshape(N // G, G, *spatial, C)
+            red = (0,) + tuple(range(2, 2 + len(spatial)))  # all but (group, C)
+            mean = xg.mean(axis=red)                         # [G, C]
+            var = jnp.square(xg - _gbc(mean, xg.ndim)).mean(axis=red)
+            y = (xg - _gbc(mean, xg.ndim)) * jax.lax.rsqrt(
+                _gbc(var, xg.ndim) + self.epsilon
+            )
+            y = y.reshape(xf.shape)
+            if not self.is_initializing():
+                n = (N // G) * int(np.prod(spatial)) if spatial else N // G
+                var_unb = var * (n / max(n - 1, 1))
+                m = self.momentum
+                w = m ** jnp.arange(G - 1, -1, -1, dtype=jnp.float32)  # [G]
+                ra_mean.value = m**G * ra_mean.value + (1 - m) * (
+                    w[:, None] * mean
+                ).sum(0)
+                ra_var.value = m**G * ra_var.value + (1 - m) * (
+                    w[:, None] * var_unb
+                ).sum(0)
+        y = y * scale + bias
+        return y.astype(self.dtype)
+
+
+def _gbc(stat, ndim):
+    """Broadcast a [G, C] per-group stat over [B, G, *spatial, C]."""
+    return stat[None, :, *(None,) * (ndim - 3), :]
+
+
 def _norm(gn: bool, channels: int, group_channel: int = 8, dtype=jnp.float32):
     if gn:
         return nn.GroupNorm(
             num_groups=max(1, channels // group_channel), epsilon=1e-5, dtype=dtype
         )
-    return nn.BatchNorm(
-        momentum=BN_MOMENTUM, epsilon=BN_EPS, use_bias=True, use_scale=True,
-        dtype=dtype,
+    return TorchBatchNorm(
+        momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=dtype, name="BatchNorm_0"
     )
 
 
@@ -51,21 +126,27 @@ class ConvBnReLU(nn.Module):
     stride: int = 1
     relu: bool = True
     gn: bool = False
+    view_groups: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        # explicit symmetric k//2 padding, NOT "SAME": identical for stride 1,
+        # but at stride 2 XLA SAME pads asymmetrically (lo=k//2-1) while the
+        # reference pads k//2 on both sides (mvs4net_utils.py:439 pad=2) —
+        # verified numerically, SAME diverges on every stride-2 conv.
+        p = self.kernel // 2
         x = nn.Conv(
             self.out_channels,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             use_bias=self.gn,
             dtype=self.dtype,
         )(x)
         norm = _norm(self.gn, self.out_channels, dtype=self.dtype)
-        if isinstance(norm, nn.BatchNorm):
-            x = norm(x, use_running_average=not train)
+        if isinstance(norm, TorchBatchNorm):
+            x = norm(x, use_running_average=not train, groups=self.view_groups)
         else:
             x = norm(x)
         if self.relu:
@@ -105,20 +186,26 @@ class ConvBnReLU3D(nn.Module):
     def __call__(self, x, *, train: bool):
         kd, kh, kw = self.kernel
         sd, sh, sw = self.stride
+        # torch-style symmetric k//2 padding (reference pad=(0,1,1) etc.);
+        # XLA SAME differs on stride-2 convs — see ConvBnReLU.
+        ph, pw = kh // 2, kw // 2
         if kd == 1 and sd == 1:
             x = nn.Conv(
-                self.out_channels, (kh, kw), strides=(sh, sw), padding="SAME",
-                use_bias=False, dtype=self.dtype,
+                self.out_channels, (kh, kw), strides=(sh, sw),
+                padding=((ph, ph), (pw, pw)), use_bias=False, dtype=self.dtype,
             )(x)
         else:
+            pd = kd // 2
             x = _unfold(x, self.depth)
             x = nn.Conv(
                 self.out_channels, (kd, kh, kw), strides=(sd, sh, sw),
-                padding="SAME", use_bias=False, dtype=self.dtype,
+                padding=((pd, pd), (ph, ph), (pw, pw)), use_bias=False,
+                dtype=self.dtype,
             )(x)
             x = _fold(x)
-        x = nn.BatchNorm(
-            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype
+        x = TorchBatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+            name="BatchNorm_0",
         )(x, use_running_average=not train)
         if self.relu:
             x = nn.relu(x)
@@ -145,8 +232,9 @@ class _AttnConvBase(nn.Module):
 
     def _finish(self, y5, inp5, train):
         out = _fold(y5 + inp5)
-        out = nn.BatchNorm(
-            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype
+        out = TorchBatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+            name="BatchNorm_0",
         )(out, use_running_average=not train)
         return nn.relu(out)
 
@@ -245,12 +333,17 @@ class DeconvBnReLU3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        # padding (1,2): equals torch ConvTranspose(k=3, s=2, p=1, out_p=1)
+        # (reference reg2d up path, mvs4net_utils.py:900-912) up to a spatial
+        # kernel flip — exact x2 upsample; verified numerically (flax SAME is
+        # a different boundary function).
         x = nn.ConvTranspose(
-            self.out_channels, (3, 3), strides=(2, 2), padding="SAME",
+            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
             use_bias=False, dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype
+        x = TorchBatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+            name="BatchNorm_0",
         )(x, use_running_average=not train)
         return nn.relu(x)
 
@@ -265,10 +358,11 @@ class DeconvBnReLU3D_true(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         x = nn.ConvTranspose(
-            self.out_channels, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
-            use_bias=False, dtype=self.dtype,
+            self.out_channels, (3, 3, 3), strides=(2, 2, 2),
+            padding=((1, 2), (1, 2), (1, 2)), use_bias=False, dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype
+        x = TorchBatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+            name="BatchNorm_0",
         )(x, use_running_average=not train)
         return nn.relu(x)

@@ -67,18 +67,22 @@ class MVS4Net(nn.Module):
         def maybe_remat(cls):
             return nn.remat(cls, static_argnums=(2,)) if cfg.remat else cls
 
+        # view_groups=V: train-mode BN statistics per view on the folded
+        # batch, matching the reference's per-view FPN calls (MVS4Net.py:78-80)
         if cfg.arch_mode == "fpn":
             backbone = maybe_remat(FPN4)(
-                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype
+                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, view_groups=V,
+                dtype=dtype,
             )
         elif cfg.arch_mode == "fpn_convnext":
             backbone = maybe_remat(FPN4ConvNeXt)(
-                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, dtype=dtype
+                cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, view_groups=V,
+                dtype=dtype,
             )
         elif cfg.arch_mode == "fpn_convnext4":
             backbone = maybe_remat(FPN4ConvNeXt)(
                 cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, patchify=True,
-                dtype=dtype,
+                view_groups=V, dtype=dtype,
             )
         else:
             raise ValueError(f"unknown arch_mode {cfg.arch_mode!r}")
@@ -172,6 +176,8 @@ class MVS4Net(nn.Module):
                 warp_impl=cfg.warp_impl,
                 warp_band=cfg.warp_band,
                 warp_tile_rows=cfg.warp_tile_rows,
+                warp_xband=cfg.warp_xband,
+                warp_tile_cols=cfg.warp_tile_cols,
             )
             if cfg.mono:
                 out["mono_feat"] = stage_views[0]  # reference view features

@@ -108,13 +108,15 @@ class _C3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from .layers import BN_EPS, BN_MOMENTUM
+        from .layers import BN_EPS, BN_MOMENTUM, TorchBatchNorm
 
+        # torch-style symmetric pad=1 (SAME mismatches at stride 2)
         x = nn.Conv(
             self.out_channels, (3, 3, 3), strides=(self.stride,) * 3,
-            padding="SAME", use_bias=False, dtype=self.dtype,
+            padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(
-            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype
+        x = TorchBatchNorm(
+            momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
+            name="BatchNorm_0",
         )(x, use_running_average=not train)
         return nn.relu(x)

@@ -41,6 +41,8 @@ def run_stage(
     warp_impl: str = "gather",
     warp_band: int = 16,
     warp_tile_rows: int = 8,
+    warp_xband: int = 0,
+    warp_tile_cols: int = 128,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape
     cost = epipolar_aggregate(
@@ -48,6 +50,7 @@ def run_stage(
         group_cor=group_cor, group_dim=group_dim,
         attn_temp=attn_temp, attn_fuse_d=attn_fuse_d,
         impl=warp_impl, band=warp_band, tile_rows=warp_tile_rows,
+        xband=warp_xband, tile_cols=warp_tile_cols,
     )  # folded [B*D, h, w, G]
 
     score = regnet(cost).astype(jnp.float32).reshape(B, D, H, W)

@@ -40,6 +40,8 @@ def correlate_view(
     impl: str = "gather",
     band: int = 16,
     tile_rows: int = 8,
+    xband: int = 0,
+    tile_cols: int = 128,
 ) -> jnp.ndarray:
     """Warp one source view and correlate against the reference.
 
@@ -54,7 +56,9 @@ def correlate_view(
     """
     B, D, H, W = depth_hypo.shape
     C = src_fea.shape[-1]
-    warped = _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows)
+    warped = _warp(
+        src_fea, rel_proj, depth_hypo, impl, band, tile_rows, xband, tile_cols
+    )
     if group_cor:
         ref_tiled = jnp.broadcast_to(
             ref_fea[:, None], (B, D, H, W, C)
@@ -66,7 +70,8 @@ def correlate_view(
     return diff * diff  # [B, D, H, W, C]
 
 
-def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows):
+def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows,
+          xband=0, tile_cols=128):
     B, D, H, W = depth_hypo.shape
     if (
         impl in ("mxu", "mxu_pallas")
@@ -77,6 +82,7 @@ def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows):
 
         return homo_warp_mxu(
             src_fea, rel_proj, depth_hypo, band=band, tile_rows=tile_rows,
+            xband=xband, tile_cols=tile_cols,
             use_pallas=impl == "mxu_pallas",
         )
     coords = warp_coords(rel_proj, depth_hypo)
@@ -109,6 +115,8 @@ def epipolar_aggregate(
     impl: str = "gather",
     band: int = 16,
     tile_rows: int = 8,
+    xband: int = 0,
+    tile_cols: int = 128,
 ) -> jnp.ndarray:
     """Cross-view attention-weighted fused cost volume, FOLDED layout
     ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing
@@ -131,9 +139,9 @@ def epipolar_aggregate(
     norm = 1e-8
     for v in range(1, len(features)):
         rel = relative_projection(proj_stacks[:, v], ref_stack)
-        wf = _warp(features[v], rel, depth_hypo, impl, band, tile_rows).reshape(
-            B * D, H, W, C
-        )
+        wf = _warp(
+            features[v], rel, depth_hypo, impl, band, tile_rows, xband, tile_cols
+        ).reshape(B * D, H, W, C)
         if group_cor:
             cor = _group_correlate(wf, ref_tiled, group_dim)  # [BD, H, W, G]
         else:

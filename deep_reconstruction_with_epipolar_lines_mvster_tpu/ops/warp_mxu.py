@@ -77,6 +77,155 @@ def _tile_starts(coords_y: jnp.ndarray, band: int, src_h: int) -> jnp.ndarray:
     return jnp.clip(y0, 0, max(src_h - band, 0))
 
 
+# ------------------------------------------------- x-banded (chunked) path ---
+#
+# The full-width formulation above contracts over all Ws source columns per
+# output pixel (Ws*K*C FLOPs/pixel). But along an epipolar segment the source
+# x span of a (tile_rows x tile_cols) output block is ~tile_cols * local
+# x-scale — a narrow column band. Chunking each row tile into G = W/tile_cols
+# column blocks with a per-block [band, xband, C] source window cuts the
+# contraction from Ws to xband (~3-5x on the full-res stage) while keeping
+# everything dense: the G chunk slices are unrolled (static G, dynamic
+# starts — contiguous dynamic_slice, not gather) and the G matmuls run as one
+# batched dot_general per scan iteration, which also amortizes the scan
+# overhead over G-fold more work.
+
+
+def _block_sample(
+    src: jnp.ndarray,       # [Hs, Ws, C]
+    coords_g: jnp.ndarray,  # [G, P, 2] pixel (x, y); P = tile_rows*tile_cols
+    y0: jnp.ndarray,        # scalar int32 — shared row-band start
+    x0g: jnp.ndarray,       # [G] int32 — per-chunk column-band starts
+    band: int,
+    xband: int,
+) -> jnp.ndarray:           # [G, P, C]
+    Hs, Ws, C = src.shape
+    G, P, _ = coords_g.shape
+    rows = jax.lax.dynamic_slice(src, (y0, 0, 0), (band, Ws, C))
+    blocks = jnp.stack([
+        jax.lax.dynamic_slice(rows, (0, x0g[j], 0), (band, xband, C))
+        for j in range(G)
+    ])                                                             # [G, K, Bx, C]
+    x = coords_g[..., 0]
+    y = coords_g[..., 1]
+    js = jax.lax.broadcasted_iota(jnp.float32, (G, P, xband), 2)
+    wx = jnp.maximum(
+        0.0, 1.0 - jnp.abs(x[..., None] - (x0g[:, None, None].astype(jnp.float32) + js))
+    )                                                              # [G, P, Bx]
+    ks = jax.lax.broadcasted_iota(jnp.float32, (G, P, band), 2)
+    wy = jnp.maximum(
+        0.0, 1.0 - jnp.abs(y[..., None] - (y0.astype(jnp.float32) + ks))
+    )                                                              # [G, P, K]
+    z = jax.lax.dot_general(
+        wx.astype(src.dtype),
+        blocks.transpose(0, 2, 1, 3).reshape(G, xband, band * C),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(G, P, band, C)
+    return (wy[..., None].astype(jnp.float32) * z).sum(axis=2).astype(src.dtype)
+
+
+def _split_blocks(coords, tile_rows, tile_cols):
+    """[D, H, W, 2] -> [D*T, G, P, 2] with T=H/tile_rows, G=W/tile_cols,
+    P=tile_rows*tile_cols (row-tile major so each scan step is one row tile
+    with its G column chunks)."""
+    D, H, W, _ = coords.shape
+    T, G = H // tile_rows, W // tile_cols
+    c = coords.reshape(D, T, tile_rows, G, tile_cols, 2)
+    c = c.transpose(0, 1, 3, 2, 4, 5)
+    return c.reshape(D * T, G, tile_rows * tile_cols, 2)
+
+
+def _merge_blocks(out, D, H, W, tile_rows, tile_cols, C):
+    """[D*T, G, P, C] -> [D, H, W, C] (inverse of _split_blocks)."""
+    T, G = H // tile_rows, W // tile_cols
+    o = out.reshape(D, T, G, tile_rows, tile_cols, C)
+    o = o.transpose(0, 1, 3, 2, 4, 5)
+    return o.reshape(D, H, W, C)
+
+
+def _chunk_starts(coords_x, xband, src_w):
+    """Per-chunk column-band starts: floor(min x) - 1, clamped.
+    coords_x: [N, G, P]."""
+    x0 = jnp.floor(coords_x.min(axis=-1)).astype(jnp.int32) - 1
+    return jnp.clip(x0, 0, max(src_w - xband, 0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _warp_one_banded(src, coords, band, tile_rows, xband, tile_cols):
+    return _warp_one_banded_fwd(src, coords, band, tile_rows, xband, tile_cols)[0]
+
+
+def _warp_one_banded_fwd(src, coords, band, tile_rows, xband, tile_cols):
+    D, H, W, _ = coords.shape
+    Hs, Ws, C = src.shape
+    blocks = _split_blocks(coords, tile_rows, tile_cols)   # [N, G, P, 2]
+    ystarts = _tile_starts(
+        blocks[..., 1].reshape(blocks.shape[0], -1), band, Hs
+    )                                                      # [N]
+    xstarts = _chunk_starts(blocks[..., 0], xband, Ws)     # [N, G]
+
+    def body(_, xs):
+        bc, y0, x0g = xs
+        return None, _block_sample(src, bc, y0, x0g, band, xband)
+
+    _, out = jax.lax.scan(body, None, (blocks, ystarts, xstarts))
+    return _merge_blocks(out, D, H, W, tile_rows, tile_cols, C), (src, coords)
+
+
+def _warp_one_banded_bwd(band, tile_rows, xband, tile_cols, res, g):
+    src, coords = res
+    D, H, W, _ = coords.shape
+    Hs, Ws, C = src.shape
+    blocks = _split_blocks(coords, tile_rows, tile_cols)
+    N, G, P, _ = blocks.shape
+    ystarts = _tile_starts(blocks[..., 1].reshape(N, -1), band, Hs)
+    xstarts = _chunk_starts(blocks[..., 0], xband, Ws)
+    T = H // tile_rows
+    g_blocks = g.reshape(D, T, tile_rows, G, tile_cols, C)
+    g_blocks = g_blocks.transpose(0, 1, 3, 2, 4, 5).reshape(N, G, P, C)
+
+    def body(dsrc, xs):
+        bc, y0, x0g, gt = xs
+        x = bc[..., 0]
+        y = bc[..., 1]
+        js = jax.lax.broadcasted_iota(jnp.float32, (G, P, xband), 2)
+        wx = jnp.maximum(
+            0.0,
+            1.0 - jnp.abs(x[..., None] - (x0g[:, None, None].astype(jnp.float32) + js)),
+        )
+        ks = jax.lax.broadcasted_iota(jnp.float32, (G, P, band), 2)
+        wy = jnp.maximum(
+            0.0, 1.0 - jnp.abs(y[..., None] - (y0.astype(jnp.float32) + ks))
+        )
+        # d blocks[g, k, j, c] = sum_p wx[g, p, j] * wy[g, p, k] * g[g, p, c]
+        wyg = (wy[..., None] * gt.astype(jnp.float32)[:, :, None, :]).reshape(
+            G, P, band * C
+        )
+        dblocks = jax.lax.dot_general(
+            wx, wyg, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, Bx, band*C]
+        dblocks = dblocks.reshape(G, xband, band, C).transpose(0, 2, 1, 3)
+        # chunk x-ranges may overlap: accumulate sequentially into the row band
+        drows = jnp.zeros((band, Ws, C), dtype=jnp.float32)
+        for j in range(G):
+            cur = jax.lax.dynamic_slice(drows, (0, x0g[j], 0), (band, xband, C))
+            drows = jax.lax.dynamic_update_slice(
+                drows, cur + dblocks[j], (0, x0g[j], 0)
+            )
+        cur = jax.lax.dynamic_slice(dsrc, (y0, 0, 0), (band, Ws, C))
+        dsrc = jax.lax.dynamic_update_slice(dsrc, cur + drows, (y0, 0, 0))
+        return dsrc, None
+
+    dsrc0 = jnp.zeros((Hs, Ws, C), dtype=jnp.float32)
+    dsrc, _ = jax.lax.scan(body, dsrc0, (blocks, ystarts, xstarts, g_blocks))
+    return dsrc.astype(src.dtype), None  # coords are stop-gradient
+
+
+_warp_one_banded.defvjp(_warp_one_banded_fwd, _warp_one_banded_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _warp_one(src, coords, band, tile_rows):
     return _warp_one_fwd(src, coords, band, tile_rows)[0]
@@ -202,6 +351,8 @@ def homo_warp_mxu(
     *,
     band: int = 16,
     tile_rows: int = 8,
+    xband: int = 0,
+    tile_cols: int = 128,
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Gather-free bilinear homography warp: ``[B,Hs,Ws,C] -> [B,D,H,W,C]``.
@@ -209,9 +360,11 @@ def homo_warp_mxu(
     Drop-in replacement for the gather formulation in ``core.geometry``
     (same zeros-padding / align_corners semantics) built entirely from
     matmuls and contiguous slices. ``band`` bounds the per-tile source-row
-    span (see module docstring; validate with :func:`band_coverage`).
-    ``use_pallas`` runs the forward through the Pallas tile kernel (weights
-    built in VMEM — no per-tile HBM weight traffic).
+    span and ``xband`` the per-column-chunk source-column span (see module
+    docstring; validate with :func:`band_coverage`). ``xband=0`` disables
+    column chunking (full-width contraction). ``use_pallas`` runs the
+    forward through the Pallas tile kernel (weights built in VMEM — no
+    per-tile HBM weight traffic).
     """
     coords = warp_coords(rel_proj, depth_values)  # [B, D, H, W, 2], stop-grad
     if use_pallas:
@@ -221,6 +374,11 @@ def homo_warp_mxu(
         if band_al <= Hs and Hs % align == 0:
             return _warp_batched_pallas(src_fea, coords, band, tile_rows)
         # shapes too small for the aligned-band kernel: scan fallback
+    W, Ws = depth_values.shape[-1], src_fea.shape[2]
+    if xband and xband < Ws and W % tile_cols == 0:
+        return jax.vmap(
+            lambda s, c: _warp_one_banded(s, c, band, tile_rows, xband, tile_cols)
+        )(src_fea, coords)
     return jax.vmap(lambda s, c: _warp_one(s, c, band, tile_rows))(
         src_fea, coords
     )
@@ -233,23 +391,35 @@ def band_coverage(
     *,
     band: int = 16,
     tile_rows: int = 8,
+    src_w: int = 0,
+    xband: int = 0,
+    tile_cols: int = 128,
 ) -> jnp.ndarray:
-    """Fraction of pixels whose bilinear y-taps fall outside the K-row band
-    (should be 0 for a correctly-sized band). Ignores rows that are fully
-    out of the source image (zeros-padding region)."""
+    """Fraction of pixels whose bilinear taps fall outside the banded source
+    window (should be 0 for correctly-sized bands). Checks the K-row y band;
+    when ``xband``/``src_w`` are given also checks the per-chunk column band.
+    Ignores taps that are fully out of the source image (zeros padding)."""
     coords = warp_coords(rel_proj, depth_values)
-    B = coords.shape[0]
+
+    def axis_violation(vals, starts, width, limit):
+        tap0 = jnp.floor(vals).astype(jnp.int32)
+        tap1 = tap0 + 1
+        in_band = lambda t: (t >= starts) & (t <= starts + width - 1)
+        covered0 = (tap0 < 0) | in_band(tap0)
+        covered1 = (tap1 >= limit) | in_band(tap1)
+        relevant = (vals > -1.0) & (vals < limit)
+        return relevant & ~(covered0 & covered1)
 
     def one(c):
         tiles = _split_tiles(c, tile_rows)[..., 1]  # [N, P] y coords
         starts = _tile_starts(tiles, band, src_h)[:, None]  # [N, 1] int32
-        tap0 = jnp.floor(tiles).astype(jnp.int32)
-        tap1 = tap0 + 1
-        in_band = lambda t: (t >= starts) & (t <= starts + band - 1)
-        # a tap outside the image contributes zero anyway (zeros padding)
-        covered0 = (tap0 < 0) | in_band(tap0)
-        covered1 = (tap1 >= src_h) | in_band(tap1)
-        relevant = (tiles > -1.0) & (tiles < src_h)
-        return (relevant & ~(covered0 & covered1)).mean()
+        viol = axis_violation(tiles, starts, band, src_h).mean()
+        if xband and src_w and c.shape[2] % tile_cols == 0:
+            blocks = _split_blocks(c, tile_rows, tile_cols)
+            xs = _chunk_starts(blocks[..., 0], xband, src_w)[..., None]
+            viol = jnp.maximum(
+                viol, axis_violation(blocks[..., 0], xs, xband, src_w).mean()
+            )
+        return viol
 
     return jax.vmap(one)(coords).max()

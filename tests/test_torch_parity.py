@@ -1,0 +1,386 @@
+"""Full-model numeric parity against the reference PyTorch MVS4net.
+
+Weight-transplant harness (the BASELINE.md north-star check): one set of
+randomly initialized torch weights is converted with
+``utils.torch_port.torch_state_dict_to_flax`` and run through BOTH networks
+on the same synthetic multi-view sample; per-stage ``depth``,
+``photometric_confidence``, ``attn_weight``, ``mono_depth`` and the total
+training loss must agree.
+
+Reference side: ``/root/reference/models/MVS4Net.py:16-193`` (net),
+``:195-241`` (loss). Skipped when torch or the mounted reference is absent.
+
+The flax model runs ``warp_impl='gather'`` here: it is the exact-sampling
+fallback, so any disagreement is *network* drift, not the banded-warp
+approximation (whose own parity is covered by tests/test_warp_mxu.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_ROOT = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "models")),
+    reason="reference checkout not mounted",
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (  # noqa: E402
+    LossConfig,
+    ModelConfig,
+)
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.data.synthetic import (  # noqa: E402
+    batch_samples,
+    make_plane_scene,
+)
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import MVS4Net  # noqa: E402
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.models.losses import (  # noqa: E402
+    mvs4net_loss,
+)
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.utils.torch_port import (  # noqa: E402
+    torch_state_dict_to_flax,
+)
+
+
+def _ref_modules():
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    from models import MVS4Net as ref_mod  # noqa: PLC0415
+
+    return ref_mod
+
+
+def _patch_ref_schedule_range(ref_mod):
+    """The reference's non-inverse scheduler crashes on use
+    (``ndepth.device - 1``, mvs4net_utils.py:102). Substitute the obviously
+    intended ``ndepth - 1`` so it can serve as the oracle for our fixed
+    ``core.hypothesis.schedule_range`` (divergence documented in PARITY.md).
+    ``MVS4Net.py`` imports the function by name, so patch that binding."""
+    import torch.nn.functional as F  # noqa: PLC0415
+
+    def fixed(cur_depth, ndepth, depth_inteval_pixel, H, W):
+        lo = cur_depth - ndepth / 2 * depth_inteval_pixel[:, None, None]
+        hi = cur_depth + ndepth / 2 * depth_inteval_pixel[:, None, None]
+        itv = (hi - lo) / (ndepth - 1)
+        steps = torch.arange(
+            0, ndepth, device=cur_depth.device, dtype=cur_depth.dtype
+        ).reshape(1, -1, 1, 1)
+        samples = lo.unsqueeze(1) + steps * itv.unsqueeze(1)
+        return F.interpolate(
+            samples.unsqueeze(1), [ndepth, H, W],
+            mode="trilinear", align_corners=True,
+        ).squeeze(1)
+
+    ref_mod.schedule_range = fixed
+
+
+def _make_cfg(**over):
+    base = dict(
+        arch_mode="fpn", reg_mode="reg2d", fpn_base_channel=8, reg_channel=8,
+        ndepths=(8, 8, 4, 4), depth_inter_r=(0.5, 0.5, 0.5, 1.0),
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        mono=True, attn_temp=2.0, attn_fuse_d=True,
+        dtype="float32", remat=False, warp_impl="gather",
+    )
+    base.update(over)
+    return ModelConfig(**base)
+
+
+def _train_briefly(ref_net, batch, lcfg, iters=25, lr=1e-3):
+    """Adam-train the torch net for a few steps on the test batch.
+
+    At random init the attention is nearly uniform, so the argmax depth
+    readout is tie-degenerate: cross-net float drift flips bins at a few %
+    of pixels and each flip poisons its upsample footprint in the next
+    stage's hypothesis window (see _assert_stage_close). Scaling the logits
+    cannot help (it scales the drift proportionally); training does — the OT
+    loss pushes mass onto one bin, making top-2 gaps O(1) signal. This is
+    the regime a real checkpoint lives in, and it additionally makes the BN
+    running stats nontrivial, exercising that transplant path.
+    """
+    from models.MVS4Net import MVS4net_loss as ref_loss  # noqa: PLC0415
+
+    imgs_list, projs_t, dv_t = _torch_inputs(batch)
+    gt_t = {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in batch["depth"].items()
+    }
+    mask_t = {
+        k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in batch["mask"].items()
+    }
+    opt = torch.optim.Adam(ref_net.parameters(), lr=lr)
+    ref_net.train()
+    for _ in range(iters):
+        out = ref_net(imgs_list, projs_t, dv_t)
+        loss = ref_loss(
+            out, gt_t, mask_t, stage_lw=[1, 1, 1, 1],
+            l1ot_lw=[lcfg.l1_lw, lcfg.ot_lw], inverse_depth=lcfg.inverse_depth,
+            ot_iter=lcfg.ot_iter, ot_eps=lcfg.ot_eps, mono=lcfg.mono,
+        )[0]
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+
+def _build_ref(cfg, seed=0):
+    ref_mod = _ref_modules()
+    torch.manual_seed(seed)
+    net = ref_mod.MVS4net(
+        arch_mode=cfg.arch_mode,
+        reg_net=cfg.reg_mode,
+        num_stage=cfg.num_stages,
+        fpn_base_channel=cfg.fpn_base_channel,
+        reg_channel=cfg.reg_channel,
+        stage_splits=list(cfg.ndepths),
+        depth_interals_ratio=list(cfg.depth_inter_r),
+        group_cor=cfg.group_cor,
+        group_cor_dim=list(cfg.group_cor_dim),
+        inverse_depth=cfg.inverse_depth,
+        agg_type=cfg.agg_type,
+        mono=cfg.mono,
+        mono_stg_itrpl=cfg.mono_stg_itrpl,
+        attn_temp=cfg.attn_temp,
+        attn_fuse_d=cfg.attn_fuse_d,
+    )
+    return net, ref_mod
+
+
+def _batch(B, V, H, W):
+    scenes = [
+        make_plane_scene(V=V, H=H, W=W, seed=i, gx=0.1 * (i % 3), gy=-0.06 * (i % 2))
+        for i in range(B)
+    ]
+    for s in scenes:
+        for k in ("view_depths", "intrinsics", "extrinsics"):
+            s.pop(k)
+    return batch_samples(scenes)
+
+
+def _torch_inputs(batch):
+    imgs = torch.from_numpy(
+        np.ascontiguousarray(batch["imgs"].transpose(0, 1, 4, 2, 3))
+    )  # [B, V, 3, H, W]
+    imgs_list = [imgs[:, v] for v in range(imgs.shape[1])]
+    projs = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in batch["proj_matrices"].items()
+    }
+    dv = torch.from_numpy(np.ascontiguousarray(batch["depth_values"]))
+    return imgs_list, projs, dv
+
+
+def _flax_outputs(cfg, variables, batch, train):
+    model = MVS4Net(cfg)
+    args = (
+        jnp.asarray(batch["imgs"]),
+        jax.tree_util.tree_map(jnp.asarray, batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"]),
+    )
+    if train:
+        out, _ = model.apply(variables, *args, train=True, mutable=["batch_stats"])
+        return out
+    return model.apply(variables, *args, train=False)
+
+
+def _upsample_footprint(mask: np.ndarray, hw) -> np.ndarray:
+    """Pixels of the next stage influenced by flagged pixels of this stage.
+
+    The hypothesis scheduler upsamples the previous depth readout with an
+    align-corners bilinear resize (core/hypothesis.py:79), so a flipped
+    argmax pixel contaminates every output pixel inside its bilinear support;
+    dilate by 1 extra pixel for float-noise safety at the boundary.
+    """
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.core.geometry import (  # noqa: PLC0415
+        resize_align_corners,
+    )
+
+    m = resize_align_corners(jnp.asarray(mask.astype(np.float32))[..., None], hw)
+    m = np.asarray(m)[..., 0] > 1e-6
+    h, w = m.shape[-2:]
+    p = np.pad(m, ((0, 0), (1, 1), (1, 1)))
+    out = np.zeros_like(m)
+    for dy in range(3):
+        for dx in range(3):
+            out |= p[:, dy : dy + h, dx : dx + w]
+    return out
+
+
+def _masked_close(f, r, ok, rtol, atol, msg):
+    """assert_allclose over pixels not downstream of an earlier tie-flip.
+    ``f``/``r`` are [B, C, h, w] (or [B, h, w]); ``ok`` is [B, h, w] bool."""
+    if f.ndim == 3:
+        f, r = f[:, None], r[:, None]
+    sel = np.broadcast_to(ok[:, None], f.shape)
+    np.testing.assert_allclose(f[sel], r[sel], rtol=rtol, atol=atol, err_msg=msg)
+
+
+def _assert_stage_close(ref_out, flax_out, num_stages, train):
+    """Per-stage comparison with tie-flip cascade tracking.
+
+    depth is an argmax readout (reference MVS4Net.py:157-168): with
+    near-uniform attention at random init, near-tie bins flip on float noise.
+    A flip is legitimate ONLY if the two bins' scores are a genuine tie; but a
+    flipped pixel changes the next stage's hypothesis window entirely (the
+    window is centred on the readout), so its upsampled footprint must be
+    excluded from later-stage comparisons rather than held to tolerance.
+    """
+    poisoned = None  # [B, h, w] at the previous stage's resolution
+    for s in range(1, num_stages + 1):
+        key = f"stage{s}"
+        r, f = ref_out[key], flax_out[key]
+        hypo = np.asarray(f["hypo_depth"])  # [B, D, h, w]
+        B, _, h, w = hypo.shape
+        pois = (
+            np.zeros((B, h, w), bool)
+            if poisoned is None
+            else _upsample_footprint(poisoned, (h, w))
+        )
+        assert pois.mean() < 0.10, f"{key}: poisoned fraction {pois.mean():.3f}"
+        ok = ~pois
+
+        _masked_close(
+            hypo, r["hypo_depth"].detach().numpy(), ok,
+            2e-4, 1e-3, f"{key} hypo_depth",
+        )
+        attn_r = r["attn_weight"].detach().numpy()
+        attn_f = np.asarray(f["attn_weight"])
+        _masked_close(attn_f, attn_r, ok, 5e-3, 2e-4, f"{key} attn_weight")
+
+        d_r = r["depth"].detach().numpy()
+        d_f = np.asarray(f["depth"])
+        idx_f = np.argmin(np.abs(hypo - d_f[:, None]), axis=1)
+        idx_r = np.argmin(np.abs(hypo - d_r[:, None]), axis=1)
+        flipped = (idx_f != idx_r) & ok
+        assert flipped.mean() < 2e-2, f"{key} depth mismatch frac {flipped.mean()}"
+        if flipped.any():
+            gather = np.take_along_axis
+            a_f = gather(attn_f, idx_f[:, None], axis=1)[:, 0][flipped]
+            a_r = gather(attn_f, idx_r[:, None], axis=1)[:, 0][flipped]
+            tie_gap = np.abs(a_f - a_r) / np.maximum(a_f, a_r)
+            assert tie_gap.max() < 5e-3, (
+                f"{key} argmax flip without a score tie (rel gap {tie_gap.max()})"
+            )
+        # matching (non-flipped, non-poisoned) readouts must agree exactly-ish
+        _masked_close(
+            np.where(flipped, d_r, d_f), d_r, ok, 2e-4, 1e-3, f"{key} depth"
+        )
+
+        if not train:
+            c_r = r["photometric_confidence"].detach().numpy()
+            c_f = np.asarray(f["photometric_confidence"])
+            # confidence reads the attention at the argmax bin, so tie-flips
+            # perturb it at exactly the flipped pixels
+            good = np.isclose(c_f, c_r, rtol=5e-3, atol=2e-4) | flipped | pois
+            assert good.mean() > 0.995, f"{key} confidence mismatch {1 - good.mean()}"
+        if train and "mono_depth" in r:
+            # mono decoder reads FPN features only (mvs4net_utils.py:840-882)
+            # — independent of the argmax cascade, so compare everywhere
+            np.testing.assert_allclose(
+                np.asarray(f["mono_depth"]), r["mono_depth"].detach().numpy(),
+                rtol=1e-3, atol=1e-2, err_msg=f"{key} mono_depth",
+            )
+        poisoned = pois | flipped
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (128, 64)])
+def test_full_model_parity_dtu_config(shape):
+    H, W = shape
+    B, V = 2, 3
+    cfg = _make_cfg()
+    ref_net, _ = _build_ref(cfg, seed=0)
+    batch = _batch(B, V, H, W)
+    lcfg = LossConfig(
+        l1_lw=0.003, ot_lw=1.0, inverse_depth=True, mono=True, ot_iter=3, ot_eps=1.0
+    )
+    _train_briefly(ref_net, batch, lcfg)
+    imgs_list, projs_t, dv_t = _torch_inputs(batch)
+
+    model = MVS4Net(cfg)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"][:1]),
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"][:1]),
+        train=True,
+    )
+    variables = torch_state_dict_to_flax(ref_net.state_dict(), template, cfg)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    # ---- eval mode: running-stat BN, confidence path -------------------------
+    ref_net.eval()
+    with torch.no_grad():
+        ref_out = ref_net(imgs_list, projs_t, dv_t)
+    flax_out = _flax_outputs(cfg, variables, batch, train=False)
+    _assert_stage_close(ref_out, flax_out, cfg.num_stages, train=False)
+
+    # ---- train mode: batch-stat BN, mono decoder, loss ------------------------
+    ref_net.train()
+    with torch.no_grad():
+        ref_out_t = ref_net(imgs_list, projs_t, dv_t)
+    flax_out_t = _flax_outputs(cfg, variables, batch, train=True)
+    _assert_stage_close(ref_out_t, flax_out_t, cfg.num_stages, train=True)
+
+    # total training loss (reference MVS4Net.py:195-241 vs models/losses.py)
+    from models.MVS4Net import MVS4net_loss as ref_loss  # noqa: PLC0415
+
+    gt_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in batch["depth"].items()}
+    mask_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in batch["mask"].items()}
+    with torch.no_grad():
+        total_ref, _, _, _ = ref_loss(
+            ref_out_t, gt_t, mask_t,
+            stage_lw=[1, 1, 1, 1], l1ot_lw=[0.003, 1.0],
+            inverse_depth=True, ot_iter=3, ot_eps=1, mono=True,
+        )
+    total_flax, _ = mvs4net_loss(
+        flax_out_t,
+        jax.tree_util.tree_map(jnp.asarray, batch["depth"]),
+        jax.tree_util.tree_map(jnp.asarray, batch["mask"]),
+        lcfg,
+    )
+    # a few % of pixels sit downstream of argmax tie-flips (see
+    # _assert_stage_close) where hypo windows differ by up to ~13% — their
+    # per-pixel loss terms legitimately differ, bounding agreement to ~1%
+    np.testing.assert_allclose(
+        float(total_flax), float(total_ref), rtol=1.5e-2, err_msg="total loss"
+    )
+
+
+def test_full_model_parity_forward_depth_no_mono():
+    """Non-inverse, non-group-cor variant (plain variance cost volume)."""
+    cfg = _make_cfg(group_cor=False, inverse_depth=False, mono=False)
+    ref_net, ref_mod = _build_ref(cfg, seed=1)
+    _patch_ref_schedule_range(ref_mod)
+    batch = _batch(2, 3, 64, 128)
+    _train_briefly(
+        ref_net, batch,
+        LossConfig(
+            l1_lw=0.003, ot_lw=1.0, inverse_depth=False, mono=False,
+            ot_iter=3, ot_eps=1.0,
+        ),
+    )
+    imgs_list, projs_t, dv_t = _torch_inputs(batch)
+
+    model = MVS4Net(cfg)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"][:1]),
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"][:1]),
+        train=True,
+    )
+    variables = torch_state_dict_to_flax(ref_net.state_dict(), template, cfg)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    ref_net.eval()
+    with torch.no_grad():
+        ref_out = ref_net(imgs_list, projs_t, dv_t)
+    flax_out = _flax_outputs(cfg, variables, batch, train=False)
+    _assert_stage_close(ref_out, flax_out, cfg.num_stages, train=False)

@@ -63,6 +63,54 @@ def test_matches_gather_path(tile_rows, band):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("tile_cols,xband", [(32, 48), (16, 32)])
+def test_banded_matches_gather_path(tile_cols, xband):
+    """x-banded (column-chunked) warp vs the gather reference."""
+    src, rel, depth = _setup()
+    cov = float(band_coverage(
+        rel, depth, src.shape[1], band=16, tile_rows=8,
+        src_w=src.shape[2], xband=xband, tile_cols=tile_cols,
+    ))
+    assert cov == 0.0, f"x band too small for this geometry: {cov}"
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=xband, tile_cols=tile_cols
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_banded_gradients_match_gather_path():
+    src, rel, depth = _setup(B=1, H=16, W=64)
+
+    def loss_gather(s):
+        w = grid_sample_2d(s, warp_coords(rel, depth))
+        return (w * w + 0.3 * w).sum()
+
+    def loss_banded(s):
+        w = homo_warp_mxu(
+            s, rel, depth, band=16, tile_rows=4, xband=48, tile_cols=32
+        )
+        return (w * w + 0.3 * w).sum()
+
+    g_ref = jax.grad(loss_gather)(src)
+    g_got = jax.grad(loss_banded)(src)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
+
+
+def test_banded_zeros_padding_out_of_range():
+    """x-banded path must reproduce grid_sample's zeros padding when samples
+    leave the source image (and overlapping chunk windows in the backward
+    must accumulate, not overwrite)."""
+    src, rel, depth = _setup(B=1, H=32, W=64, baseline=40.0)
+    ref = np.asarray(grid_sample_2d(src, warp_coords(rel, depth)))
+    got = np.asarray(homo_warp_mxu(
+        src, rel, depth, band=32, tile_rows=8, xband=48, tile_cols=32
+    ))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+    assert (np.abs(ref) < 1e-6).mean() > 0.1  # the scene does go OOB
+
+
 def test_pallas_kernel_matches_scan_path():
     """Pallas tile kernel (interpret mode on CPU) vs the XLA scan forward,
     values + gradients."""
