@@ -47,6 +47,19 @@ def proj_pyramid(intrinsics, extrinsics, base_stage: int) -> Dict[str, np.ndarra
     }
 
 
+def sample_rng(seed: int, epoch: int, idx: int) -> np.random.Generator:
+    """Per-sample RNG derived from ``(seed, epoch, idx)``.
+
+    Datasets must NOT share one ``np.random.Generator`` across
+    ``__getitem__`` calls: the DataLoader maps ``__getitem__`` over a thread
+    pool and ``numpy.random.Generator`` is not thread-safe — concurrent draws
+    can corrupt generator state, and even when they don't, the augmentation
+    stream depends on thread scheduling. A generator keyed on the sample
+    index makes augmentation reproducible for any ``num_workers``.
+    """
+    return np.random.default_rng(np.random.SeedSequence((seed, epoch, idx)))
+
+
 # ------------------------------------------------------- augmentation --------
 
 def color_jitter(

@@ -19,7 +19,7 @@ from typing import Dict
 
 import numpy as np
 
-from .base import proj_pyramid, robust_view_selection
+from .base import proj_pyramid, robust_view_selection, sample_rng
 from .io import pyramid_nearest, read_image, read_pair_file, read_pfm, read_scan_list, resize_nearest
 
 
@@ -45,7 +45,8 @@ class BlendedMVSDataset:
         self.nviews = nviews
         self.img_wh = img_wh
         self.robust_train = robust_train
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.scale_factors: Dict[str, float] = {}
         self.metas = []
         for scan in read_scan_list(listfile):
@@ -69,11 +70,14 @@ class BlendedMVSDataset:
         extrinsics[:3, 3] *= sf
         return intrinsics, extrinsics, dmin * sf, dmax * sf
 
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
     def __getitem__(self, idx: int) -> Dict:
         scan, ref_view, src_views = self.metas[idx]
         if self.robust_train:
             view_ids, scale = robust_view_selection(
-                self.rng, ref_view, src_views, self.nviews
+                sample_rng(self.seed, self.epoch, idx), ref_view, src_views, self.nviews
             )
         else:
             view_ids = [ref_view] + src_views[: self.nviews - 1]

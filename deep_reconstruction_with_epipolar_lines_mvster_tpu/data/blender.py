@@ -27,7 +27,7 @@ from typing import Dict
 
 import numpy as np
 
-from .base import color_jitter, proj_pyramid, robust_view_selection
+from .base import color_jitter, proj_pyramid, robust_view_selection, sample_rng
 from .io import pyramid_nearest, read_cam_file, read_image, read_pair_file, read_pfm, read_scan_list
 
 
@@ -55,7 +55,11 @@ class BlenderDataset:
         self.interval_scale = interval_scale
         self.rt = rt
         self.use_raw_train = use_raw_train
+        # init-time RNG for the light-subset draw in _build_list only;
+        # __getitem__ derives a per-sample generator (thread safety).
         self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         nl = Nlights.replace("(", "").replace(")", "").split(":")
         self.Nlights, self.TotLights = int(nl[0]), int(nl[1])
         if use_raw_train:
@@ -89,11 +93,15 @@ class BlenderDataset:
     def __len__(self):
         return len(self.metas)
 
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
     def __getitem__(self, idx: int) -> Dict:
         scan, light_idx, ref_view, src_views = self.metas[idx]
+        rng = sample_rng(self.seed, self.epoch, idx)
         if self.mode == "train" and self.rt:
             view_ids, scale = robust_view_selection(
-                self.rng, ref_view, src_views, self.nviews
+                rng, ref_view, src_views, self.nviews
             )
         else:
             view_ids = [ref_view] + src_views[: self.nviews - 1]
@@ -133,7 +141,7 @@ class BlenderDataset:
             )
             if self.mode == "train":
                 img = color_jitter(
-                    self.rng, img,
+                    rng, img,
                     brightness=0.6, contrast=0.5, saturation=0.4, hue=0.01,
                 )
             assert img.shape[:2] == (self.H, self.W)

@@ -29,7 +29,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .base import color_jitter, proj_pyramid, robust_view_selection
+from .base import color_jitter, proj_pyramid, robust_view_selection, sample_rng
 from .io import pyramid_nearest, read_cam_file, read_image, read_pair_file, read_pfm, read_scan_list
 
 
@@ -58,8 +58,14 @@ class DTUDataset:
         self.interval_scale = interval_scale
         self.rt = rt
         self.use_raw_train = use_raw_train
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.metas = self._build_list(listfile)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-sample augmentation RNG stream (called by the
+        DataLoader each epoch, DistributedSampler.set_epoch-style)."""
+        self.epoch = epoch
 
     def _build_list(self, listfile: str):
         metas = []
@@ -95,9 +101,10 @@ class DTUDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         scan, light_idx, ref_view, src_views = self.metas[idx]
+        rng = sample_rng(self.seed, self.epoch, idx)
         if self.mode == "train" and self.rt:
             view_ids, scale = robust_view_selection(
-                self.rng, ref_view, src_views, self.nviews
+                rng, ref_view, src_views, self.nviews
             )
         else:
             view_ids = [ref_view] + src_views[: self.nviews - 1]
@@ -120,7 +127,7 @@ class DTUDataset:
 
             img = read_image(img_path)
             if self.mode == "train":
-                img = color_jitter(self.rng, img, brightness=0.5, contrast=0.5)
+                img = color_jitter(rng, img, brightness=0.5, contrast=0.5)
             if self.use_raw_train:
                 img = self._crop_img_raw(img)
 

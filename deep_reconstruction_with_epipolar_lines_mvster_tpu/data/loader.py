@@ -76,6 +76,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        # advance the dataset's per-sample augmentation RNG stream too
+        ds_set_epoch = getattr(self.dataset, "set_epoch", None)
+        if callable(ds_set_epoch):
+            ds_set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

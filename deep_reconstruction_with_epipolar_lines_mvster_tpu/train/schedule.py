@@ -54,12 +54,42 @@ def onecycle(base_lr: float, total_steps: int):
     )
 
 
-def exponent(base_lr: float, gamma: float = 0.17):
-    """Per-epoch exponential decay (reference train_mvs4.py:136); the caller
-    supplies steps-per-epoch granularity by stepping it once per epoch."""
+def exponent(base_lr: float, steps_per_epoch: int, gamma: float = 0.17):
+    """Per-EPOCH exponential decay, ``lr = base * 0.17 ** epoch``.
+
+    The reference's branch (train_mvs4.py:136) constructs ``ExponentialLR``
+    but assigns it to the wrong name, so it never steps — the *intended*
+    semantics (ExponentialLR stepped once per epoch) are implemented here.
+    The schedule is a pure function of the optimizer step, so it converts
+    step -> epoch via ``steps_per_epoch``.
+    """
+    spe = max(1, int(steps_per_epoch))
 
     def schedule(step):
-        return base_lr * gamma ** jnp.asarray(step, dtype=jnp.float32)
+        epoch = jnp.asarray(step, dtype=jnp.int32) // spe
+        return base_lr * gamma ** epoch.astype(jnp.float32)
+
+    return schedule
+
+
+def cyclic_tri2(base_lr: float, max_lr: float, step_size_up: int = 4):
+    """CyclicLR ``mode="triangular2"`` (reference train_mvs4.py:131-134:
+    ``base_lr=lr, max_lr=lr*100, step_size_up=4``), stepped per iteration
+    like the reference's ``lr_scheduler.step()`` in the batch loop
+    (train_mvs4.py:157).
+
+    torch formula: ``cycle = floor(1 + step/(2*up))``,
+    ``x = |step/up - 2*cycle + 1|``,
+    ``lr = base + (max-base) * max(0, 1-x) / 2**(cycle-1)``.
+    """
+    up = float(step_size_up)
+
+    def schedule(step):
+        s = jnp.asarray(step, dtype=jnp.float32)
+        cycle = jnp.floor(1.0 + s / (2.0 * up))
+        x = jnp.abs(s / up - 2.0 * cycle + 1.0)
+        amp = jnp.maximum(0.0, 1.0 - x) * 2.0 ** (1.0 - cycle)
+        return base_lr + (max_lr - base_lr) * amp
 
     return schedule
 
@@ -72,6 +102,7 @@ def make_schedule(
     gamma: float = 0.5,
     total_steps: int = 0,
     warmup_iters: int = 500,
+    steps_per_epoch: int = 1,
 ):
     if name == "MS":
         return warmup_multistep(
@@ -81,6 +112,8 @@ def make_schedule(
         return cosine(base_lr, total_steps)
     if name == "onecycle":
         return onecycle(base_lr, total_steps)
+    if name == "CyclicLR_tri2":
+        return cyclic_tri2(base_lr, base_lr * 100.0, step_size_up=4)
     if name == "exponent":
-        return exponent(base_lr)
+        return exponent(base_lr, steps_per_epoch)
     raise ValueError(f"unknown lr scheduler {name!r}")

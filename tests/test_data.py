@@ -151,6 +151,29 @@ class TestDTULoader:
         ratio = s["depth"]["stage4"].mean() / b["depth"]["stage4"].mean()
         np.testing.assert_allclose(ratio, scale, rtol=1e-5)
 
+    def test_augmentation_deterministic_across_num_workers(self, dtu_root):
+        """Per-sample RNG: same seed => identical batches for num_workers=0
+        and num_workers=4 (thread-pool __getitem__ must not perturb the
+        augmentation stream), and a different epoch => different stream."""
+        DS = find_dataset_def("dtu_yao4")
+
+        def batches(num_workers, epoch=0):
+            ds = DS(dtu_root, f"{dtu_root}/train.txt", "train", 3, 1.0, rt=True, seed=3)
+            dl = DataLoader(ds, 4, shuffle=True, seed=3, num_workers=num_workers)
+            dl.set_epoch(epoch)
+            return list(dl)
+
+        serial, threaded = batches(0), batches(4)
+        assert len(serial) == len(threaded)
+        for a, b in zip(serial, threaded):
+            np.testing.assert_array_equal(a["imgs"], b["imgs"])
+            np.testing.assert_array_equal(a["depth_values"], b["depth_values"])
+        other_epoch = batches(0, epoch=1)
+        assert any(
+            not np.array_equal(a["imgs"], c["imgs"])
+            for a, c in zip(serial, other_epoch)
+        )
+
 
 def test_rescale_crop_image_formulas():
     """Pure-function parity with read_rescale_crop_img

@@ -2,6 +2,7 @@
 step (SURVEY.md §7 step 2 — the 'one model running' milestone)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -75,3 +76,38 @@ def test_warmup_multistep_schedule_values():
     np.testing.assert_allclose(float(sched(99)), 1.0, rtol=1e-6)
     np.testing.assert_allclose(float(sched(100)), 0.5, rtol=1e-6)
     np.testing.assert_allclose(float(sched(250)), 0.25, rtol=1e-6)
+
+
+def test_cyclic_tri2_matches_torch_oracle():
+    """CyclicLR triangular2 curve vs torch's scheduler (reference
+    train_mvs4.py:131-134 parameters: base=lr, max=100*lr, step_size_up=4)."""
+    torch = pytest.importorskip("torch")
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train.schedule import cyclic_tri2
+
+    base, mx = 1e-3, 1e-1
+    sched = cyclic_tri2(base, mx, step_size_up=4)
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base)
+    ref = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=mx, step_size_up=4,
+        mode="triangular2", cycle_momentum=False,
+    )
+    for step in range(40):
+        np.testing.assert_allclose(
+            float(sched(step)), opt.param_groups[0]["lr"], rtol=1e-5,
+            err_msg=f"step {step}",
+        )
+        opt.step()
+        ref.step()
+
+
+def test_exponent_schedule_decays_per_epoch():
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train.schedule import exponent
+
+    sched = exponent(1.0, steps_per_epoch=50)
+    # constant inside an epoch, 0.17x at each epoch boundary (ExponentialLR
+    # gamma=0.17 stepped per epoch — the reference's intended semantics)
+    np.testing.assert_allclose(float(sched(0)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(49)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(50)), 0.17, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(149)), 0.17**2, rtol=1e-5)
