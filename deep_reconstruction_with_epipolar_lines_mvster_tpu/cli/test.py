@@ -85,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["mxu", "gather"])
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
+    p.add_argument("--warp_xband", type=int, default=0)
+    p.add_argument("--warp_tile_cols", type=int, default=128)
     p.add_argument("--debug_model", type=int, default=0)
     p.add_argument("--debug_depth_gen", type=int, default=0)
     p.add_argument("--debug_depth_filter", type=int, default=0)
@@ -137,17 +139,45 @@ def main(argv=None):
                 if args.loadckpt:
                     print(f"=> loading model {args.loadckpt}")
                     variables = load_weights(args.loadckpt, dict(variables))
+                if args.debug_model or args.debug_depth_gen:
+                    # numeric stand-in for the reference's cv2 debug windows
+                    # (MVS4Net.py:85-191, test_mvs4.py:447-517)
+                    from ..utils.debug import debug_dump_forward
+
+                    written = debug_dump_forward(
+                        model, variables,
+                        jnp.asarray(s0["imgs"][None]),
+                        jax.tree_util.tree_map(
+                            lambda x: jnp.asarray(x[None]), s0["proj_matrices"]
+                        ),
+                        jnp.asarray(s0["depth_values"][None]),
+                        bits=args.debug_model or args.debug_depth_gen,
+                        outdir=args.outdir, train=False,
+                        tag=f"eval_{scene or 'scene'}",
+                    )
+                    print(f"debug dump: {len(written)} arrays under "
+                          f"{args.outdir}/debug")
             stats = generate_depth_maps(
                 model, variables, ds, args.outdir,
                 batch_size=args.batch_size,
                 depthgen_thres=args.depthgen_thres,
                 save_ply=args.save_ply, save_jpg=args.save_jpg,
+                num_workers=args.num_worker,
             )
             total_time += stats["total_time_s"]
             total_views += int(stats["views"])
         print(f"total time: {total_time}")
         if total_views:
             print(f"avg time: {total_time / total_views}")
+        # peak device memory (reference 'max gpu' report, test_mvs4.py:345-348)
+        from ..eval.depthgen import device_peak_memory_gb
+
+        peak = device_peak_memory_gb()
+        print(
+            f"max device mem: {peak:.3f} GiB" if peak is not None else
+            "max device mem: unavailable (backend exposes no allocator "
+            "stats; use train/profiler.py for a traced memory view)"
+        )
 
     if args.run_filter:
         from ..eval import FusionConfig, filter_scene
@@ -166,7 +196,7 @@ def main(argv=None):
             filter_scene(
                 os.path.join(args.outdir, scene), pair_file,
                 nview_filter=args.NviewFilter, cfg=cfg,
-                save_ply=True,
+                save_ply=True, debug_bits=args.debug_depth_filter,
             )
 
 

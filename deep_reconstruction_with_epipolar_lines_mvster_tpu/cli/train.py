@@ -19,7 +19,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native MVSTER training")
     p.add_argument("--mode", default="train", choices=["train", "test", "profile"])
-    p.add_argument("--device", default="tpu", help="accepted for parity; unused")
+    p.add_argument("--device", default="tpu",
+                   help="tpu (default backend order) or cpu (force CPU backend)")
 
     p.add_argument("--dataset", default="dtu_yao4")
     p.add_argument("--trainpath")
@@ -84,6 +85,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="homography-warp implementation (ops/warp_mxu.py)")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
+    p.add_argument("--warp_xband", type=int, default=0)
+    p.add_argument("--warp_tile_cols", type=int, default=128)
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")
     return p
@@ -113,6 +116,8 @@ def make_model_config(args):
         warp_impl=args.warp_impl,
         warp_band=args.warp_band,
         warp_tile_rows=args.warp_tile_rows,
+        warp_xband=args.warp_xband,
+        warp_tile_cols=args.warp_tile_cols,
     )
 
 
@@ -141,6 +146,12 @@ def main(argv=None):
         args.testpath = args.trainpath
 
     import jax
+
+    if args.device == "cpu":
+        # must be set programmatically after the jax import (a site hook may
+        # pin the platform list before env vars are consulted) and before
+        # backend initialization
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ..config import TrainConfig, parse_lrepochs
@@ -207,6 +218,23 @@ def main(argv=None):
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"Number of model parameters: {n_params}")
+
+    if args.debug_model:
+        # numeric replacement for the reference's cv2-window debug bits
+        # (MVS4Net.py:85-191): dump the selected intermediates of one
+        # train-mode forward as .npy under <logdir>/debug
+        from ..utils.debug import debug_dump_forward
+
+        written = debug_dump_forward(
+            model, variables,
+            jnp.asarray(init_batch["imgs"]),
+            jax.tree_util.tree_map(jnp.asarray, init_batch["proj_matrices"]),
+            jnp.asarray(init_batch["depth_values"]),
+            bits=args.debug_model, outdir=args.logdir, train=True,
+            tag="train_sample0",
+        )
+        print(f"debug_model={args.debug_model}: wrote {len(written)} arrays "
+              f"under {args.logdir}/debug")
 
     devices = jax.devices()
     mesh = make_mesh(devices) if len(devices) > 1 else None

@@ -48,9 +48,9 @@ def find_dataset_def(name: str):
         from .eth3d import ETH3DDataset
 
         return ETH3DDataset
-    from .synthetic import make_plane_scene
+    from .synthetic import SyntheticTrainDataset
 
-    return make_plane_scene
+    return SyntheticTrainDataset
 
 
 __all__ = ["DataLoader", "collate", "find_dataset_def"]

@@ -10,8 +10,16 @@ reference's own filter) consumes:
   confidence/{view:08d}.pfm/.png photometric confidence
   cams/{view:08d}_cam.txt        stage4 (extrinsics, intrinsics)
   ply_local/{view:08d}.ply       optional per-view cloud (--save_ply)
+  combined.ply                   accumulated confidence-masked scene cloud
 
 plus timing and device-memory reporting (test_mvs4.py:345-348,600).
+
+The combined cloud is the reference's per-scene ``vertices`` accumulation
+(``test_mvs4.py:519-529,568-594``): every ref view's depth map is
+backprojected to world space, masked by ``conf > depthgen_thres``, and the
+union is the scene cloud (the reference only *visualizes* it through Open3D
+debug windows; here it is written to ``combined.ply`` so the artifact is
+inspectable headlessly).
 """
 
 from __future__ import annotations
@@ -28,6 +36,28 @@ def _normalize01(x: np.ndarray) -> np.ndarray:
     return (x - lo) / (hi - lo + 1e-12)
 
 
+def device_peak_memory_gb() -> float | None:
+    """Peak device-memory use in GiB across local devices — the analog of the
+    reference's ``torch.cuda.max_memory_allocated`` report
+    (``test_mvs4.py:338,345-348``). Returns ``None`` where the backend does
+    not expose allocator stats (the axon TPU tunnel's ``memory_stats()`` is
+    ``None`` — use ``train/profiler.py``'s traced memory view there)."""
+    import jax
+
+    peak = None
+    for d in jax.devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            stats = None
+        if not stats:
+            continue
+        v = stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
+        if v is not None:
+            peak = max(peak or 0, int(v))
+    return None if peak is None else peak / 1024.0**3
+
+
 def generate_depth_maps(
     model,
     variables,
@@ -38,6 +68,7 @@ def generate_depth_maps(
     depthgen_thres: float = 0.3,
     save_ply: bool = False,
     save_jpg: bool = False,
+    combined_ply: bool = True,
     num_workers: int = 4,
     verbose: bool = True,
 ) -> Dict[str, float]:
@@ -62,6 +93,10 @@ def generate_depth_maps(
     loader = DataLoader(dataset, batch_size, num_workers=num_workers)
     times: List[float] = []
     n_views = 0
+    # per-scene accumulated conf-masked world cloud (test_mvs4.py:519-529)
+    vertices: List[np.ndarray] = []
+    vertex_colors: List[np.ndarray] = []
+    scene_dir = None
     for batch in loader:
         imgs = batch["imgs"]
         projs = batch["proj_matrices"]
@@ -102,20 +137,38 @@ def generate_depth_maps(
                         path("depth_est", f"stage_{s + 1}.jpg"),
                         _normalize01(np.asarray(sd[b])),
                     )
-            if save_ply:
+            if save_ply or combined_ply:
                 conf_mask = conf > depthgen_thres
                 pts = np.asarray(
                     backproject_to_world(depth_est, cam[1][:3, :3], cam[0])
                 )
                 xyz = pts[conf_mask]
                 rgb = (ref_img[conf_mask] * 255).astype(np.uint8)
-                write_ply_ascii_colored(path("ply_local", ".ply"), xyz, rgb)
+                if save_ply:
+                    write_ply_ascii_colored(path("ply_local", ".ply"), xyz, rgb)
+                if combined_ply:
+                    vertices.append(xyz)
+                    vertex_colors.append(rgb)
+                    scene_dir = os.path.dirname(
+                        os.path.dirname(path("images", ".jpg"))
+                    )
 
         if verbose:
             print(
                 f"=== view {n_views}/{len(dataset)} fwd={times[-1]:.3f}s",
                 flush=True,
             )
+
+    if combined_ply and vertices and scene_dir is not None:
+        write_ply_ascii_colored(
+            os.path.join(scene_dir, "combined.ply"),
+            np.concatenate(vertices, axis=0),
+            np.concatenate(vertex_colors, axis=0),
+        )
+        if verbose:
+            n_pts = sum(len(v) for v in vertices)
+            print(f"combined scene cloud: {n_pts} points -> "
+                  f"{scene_dir}/combined.ply", flush=True)
 
     stats = {
         "total_time_s": float(np.sum(times)),

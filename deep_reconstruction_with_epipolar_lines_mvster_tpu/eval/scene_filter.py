@@ -40,6 +40,7 @@ def filter_scene(
     save_ply: bool = True,
     save_masks: bool = True,
     verbose: bool = True,
+    debug_bits: int = 0,
 ) -> Dict[str, float]:
     """Filter + fuse every ref view of one scene. Returns coverage stats."""
     from PIL import Image
@@ -97,6 +98,26 @@ def filter_scene(
                 Image.fromarray(
                     (out[f"{name}_mask"].astype(np.uint8) * 255)
                 ).save(os.path.join(scene_folder, f"mask/{ref_view:0>8}_{name}.png"))
+
+        if debug_bits:
+            # --debug_depth_filter: numeric dumps replacing the reference's
+            # interactive filter windows (test_mvs4.py:736-823): bit 0 =
+            # masks, bit 1 = fused/input depth, bit 2 = reprojection extras
+            dbg = os.path.join(scene_folder, "debug")
+            os.makedirs(dbg, exist_ok=True)
+            sel = {}
+            if debug_bits & 1:
+                sel.update({k: out[k] for k in ("photo_mask", "geo_mask", "final_mask")})
+            if debug_bits & 2:
+                sel.update({"fused_depth": out["fused_depth"],
+                            "input_depth": depths[ref_view]})
+            if debug_bits & 4:
+                sel.update({
+                    k: v for k, v in out.items()
+                    if k not in ("photo_mask", "geo_mask", "final_mask", "fused_depth")
+                })
+            for k, v in sel.items():
+                np.save(os.path.join(dbg, f"{ref_view:0>8}_{k}.npy"), np.asarray(v))
 
         xyz, rgb = fused_world_points(
             out["fused_depth"], out["final_mask"], intr_ref, extr_ref,

@@ -105,20 +105,23 @@ def shard_eval_forward(forward, mesh: Mesh):
     )
 
 
-def shard_train_step(train_step, mesh: Mesh):
+def shard_train_step(train_step, mesh: Mesh, *, with_images: bool = False):
     """Jit the train step with replicated state and data-sharded batches.
 
     The gradient all-reduce over the ``data`` axis is inserted by XLA (GSPMD)
     because the loss reduces over a sharded batch while parameters are
     replicated — the TPU-native equivalent of DDP's backward hook.
+    ``with_images``: the step also returns the TB image-summary dict
+    (batch element 0 — replicated out so host 0 can fetch it whole).
     """
     state_sharding = NamedSharding(mesh, P())
     batch_shardings = jax.tree_util.tree_map(
         lambda spec: NamedSharding(mesh, spec), batch_spec()
     )
+    out_shardings = (state_sharding,) * (3 if with_images else 2)
     return jax.jit(
         train_step,
         in_shardings=(state_sharding, batch_shardings),
-        out_shardings=(state_sharding, state_sharding),
+        out_shardings=out_shardings,
         donate_argnums=(0,),
     )

@@ -46,6 +46,7 @@ def fit(
         gamma=1.0 / train_cfg.lr_gamma_divisor,
         total_steps=train_cfg.epochs * steps_per_epoch,
         warmup_iters=train_cfg.warmup_iters,
+        steps_per_epoch=steps_per_epoch,
     )
     tx = make_optimizer(schedule, train_cfg.weight_decay)
     state = TrainState.create(variables, tx)
@@ -58,16 +59,26 @@ def fit(
             if is_host0:
                 print(f"resumed from {latest} at epoch {start_epoch}")
 
+    # the step always computes the TB image set (cheap slices on device);
+    # the host only FETCHES it at summary steps, so there is one compiled
+    # program and no per-step D2H cost (reference logs depth/GT/error-map
+    # grids at every summary step, train_mvs4.py:368-379)
     if mesh is not None:
         from ..parallel import replicate, shard_batch, shard_train_step
 
         state = replicate(state, mesh)
-        train_step = shard_train_step(make_train_step(model, loss_cfg, tx), mesh)
+        train_step = shard_train_step(
+            make_train_step(model, loss_cfg, tx, with_images=True),
+            mesh, with_images=True,
+        )
         put = lambda b: shard_batch(b, mesh)
     else:
-        train_step = jax.jit(make_train_step(model, loss_cfg, tx), donate_argnums=0)
+        train_step = jax.jit(
+            make_train_step(model, loss_cfg, tx, with_images=True),
+            donate_argnums=0,
+        )
         put = to_device or (lambda b: b)
-    eval_step = jax.jit(make_eval_step(model, loss_cfg))
+    eval_step = jax.jit(make_eval_step(model, loss_cfg, with_images=True))
 
     writer = MetricWriter(logdir) if is_host0 else None
 
@@ -82,7 +93,7 @@ def fit(
         for it, batch in enumerate(train_loader):
             t0 = time.time()
             global_step = steps_per_epoch * epoch + it
-            state, scalars = train_step(state, put(strip(batch)))
+            state, scalars, images = train_step(state, put(strip(batch)))
             if global_step % train_cfg.summary_freq == 0:
                 # cross-host mean (reference reduce_scalar_outputs analog)
                 from ..parallel import reduce_scalars_across_hosts
@@ -92,6 +103,7 @@ def fit(
                 )
             if is_host0 and global_step % train_cfg.summary_freq == 0:
                 writer.scalars("train", scalars, global_step)
+                writer.images("train", jax.device_get(images), global_step)
                 print(
                     format_progress(
                         epoch, train_cfg.epochs, it, steps_per_epoch,
@@ -109,11 +121,14 @@ def fit(
         ):
             meter = DictAverageMeter()
             for it, batch in enumerate(val_loader):
-                scalars = eval_step(state, put(strip(batch)))
+                scalars, images = eval_step(state, put(strip(batch)))
                 scalars = {k: float(v) for k, v in scalars.items()}
                 meter.update(scalars)
                 if is_host0 and it % train_cfg.summary_freq == 0:
                     writer.scalars("test", scalars, steps_per_epoch * epoch + it)
+                    writer.images(
+                        "test", jax.device_get(images), steps_per_epoch * epoch + it
+                    )
             if is_host0:
                 avg = meter.mean()
                 writer.scalars("fulltest", avg, steps_per_epoch * (epoch + 1))

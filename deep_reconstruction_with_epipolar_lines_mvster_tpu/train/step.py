@@ -49,6 +49,35 @@ def make_optimizer(schedule, weight_decay: float = 0.0) -> optax.GradientTransfo
     return optax.chain(*parts)
 
 
+def image_summaries(
+    outputs: Dict[str, Any], batch: Dict[str, Any], num_stages: int = 4
+) -> Dict[str, jnp.ndarray]:
+    """The reference's TB image set (train_mvs4.py:319-331,368-379), batch
+    element 0 only (``save_images``/``make_grid`` logs ``img[:1]``,
+    utils.py:82-91): masked/unmasked depth, GT, ref image, mask, abs error
+    map and the 1/2/4/8 mm error masks."""
+    last = f"stage{num_stages}"
+    depth_est = outputs[last]["depth"][0]
+    gt = batch["depth"][last][0]
+    mask = batch["mask"][last][0]
+    err = jnp.abs(depth_est - gt) * mask
+    images = {
+        "depth_est": depth_est * mask,
+        "depth_est_nomask": depth_est,
+        "depth_gt": batch["depth"]["stage2"][0],
+        "ref_img": batch["imgs"][0, 0],
+        "mask": batch["mask"]["stage1"][0],
+        "errormap": err,
+    }
+    for t in (1, 2, 4, 8):
+        images[f"errormap_{t}mm_mask"] = (
+            (err < float(t)) & (mask > 0.5)
+        ).astype(jnp.float32)
+    # f16 halves the D2H transfer (the TB writer min-max normalizes on the
+    # host anyway, so visualization precision is unaffected)
+    return {k: v.astype(jnp.float16) for k, v in images.items()}
+
+
 def make_train_step(
     model,
     loss_cfg: LossConfig,
@@ -56,6 +85,7 @@ def make_train_step(
     *,
     num_stages: int = 4,
     axis_name: str | None = None,
+    with_images: bool = False,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the (jittable) train step.
 
@@ -104,13 +134,15 @@ def make_train_step(
         scalars = {"loss": loss, **aux, **depth_metrics(depth_est, gt, mask)}
         if axis_name is not None:
             scalars = jax.lax.pmean(scalars, axis_name)
+        if with_images:
+            return new_state, scalars, image_summaries(outputs, batch, num_stages)
         return new_state, scalars
 
     return step_fn
 
 
 def make_eval_step(
-    model, loss_cfg: LossConfig, *, num_stages: int = 4
+    model, loss_cfg: LossConfig, *, num_stages: int = 4, with_images: bool = False
 ) -> Callable[[TrainState, Dict[str, Any]], Dict[str, jnp.ndarray]]:
     """Validation step (reference test_sample_depth, train_mvs4.py:387-462):
     train-mode forward semantics but no grads/update, mono loss disabled."""
@@ -132,6 +164,9 @@ def make_eval_step(
         depth_est = outputs[last]["depth"]
         gt = batch["depth"][last]
         mask = batch["mask"][last] > 0.5
-        return {"loss": total, **aux, **depth_metrics(depth_est, gt, mask)}
+        scalars = {"loss": total, **aux, **depth_metrics(depth_est, gt, mask)}
+        if with_images:
+            return scalars, image_summaries(outputs, batch, num_stages)
+        return scalars
 
     return step_fn

@@ -54,6 +54,13 @@ def test_gendepth_then_filter(tmp_path):
         ):
             assert os.path.exists(os.path.join(scene_dir, rel)), rel
 
+    # accumulated confidence-masked scene cloud (test_mvs4.py:519-529)
+    combined = os.path.join(scene_dir, "combined.ply")
+    assert os.path.exists(combined)
+    with open(combined, "rb") as f:
+        header = f.read(200).decode("ascii", "replace")
+    assert "element vertex" in header
+
     # cams round-trip through the reference txt format
     from deep_reconstruction_with_epipolar_lines_mvster_tpu.data.io import (
         read_cam_file,
