@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_w", type=int, default=640)
     p.add_argument("--fix_res", action="store_true")
     p.add_argument("--num_worker", type=int, default=1)
+    p.add_argument("--eval_shape_bucket", type=str, default="max",
+                   help="eval-shape compile bucketing: 'max' pads every "
+                        "sample to (max_h, max_w) [one compile for the whole "
+                        "list], an int N rounds shapes up to N-multiples, "
+                        "'none'/0 disables (one compile per distinct shape)")
     p.add_argument("--save_freq", type=int, default=20)
     p.add_argument("--filter_method", type=str, default="normal",
                    choices=["gipuma", "normal"])
@@ -113,10 +118,21 @@ def main(argv=None):
 
     if args.run_gendepth:
         from ..eval import generate_depth_maps
+        from ..eval.depthgen import make_eval_forward
+
+        bucket = args.eval_shape_bucket
+        if bucket in ("none", "0", ""):
+            bucket = 0
+        elif bucket != "max":
+            bucket = int(bucket)
 
         DS = find_dataset_def(args.dataset)
         total_time, total_views = 0.0, 0
+        all_shapes = set()
         variables = None
+        # one jitted forward for ALL scenes: shapes sharing a bucket share
+        # one (minutes-long, remote-tunnel) compile
+        forward = make_eval_forward(model)
         for scene in testlist:
             ds = DS(
                 datapath=args.datapath, resolution=args.data_resolution,
@@ -163,12 +179,16 @@ def main(argv=None):
                 depthgen_thres=args.depthgen_thres,
                 save_ply=args.save_ply, save_jpg=args.save_jpg,
                 num_workers=args.num_worker,
+                forward=forward, shape_bucket=bucket,
+                max_hw=(args.max_h, args.max_w),
             )
             total_time += stats["total_time_s"]
             total_views += int(stats["views"])
+            all_shapes.update(map(tuple, stats["shapes"]))
         print(f"total time: {total_time}")
         if total_views:
             print(f"avg time: {total_time / total_views}")
+        print(f"forward shape buckets (= compiles): {len(all_shapes)}")
         # peak device memory (reference 'max gpu' report, test_mvs4.py:345-348)
         from ..eval.depthgen import device_peak_memory_gb
 

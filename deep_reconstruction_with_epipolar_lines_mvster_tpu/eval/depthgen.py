@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -58,6 +58,40 @@ def device_peak_memory_gb() -> float | None:
     return None if peak is None else peak / 1024.0**3
 
 
+def make_eval_forward(model):
+    """Jitted eval forward for depth-map generation. Build this ONCE and pass
+    it to every ``generate_depth_maps`` call of a run: jit's compile cache
+    lives on the returned callable, so scenes sharing a shape share one
+    compile (the remote-compile tunnel here costs minutes per program —
+    SURVEY.md §7 recompile risk)."""
+    import jax
+
+    @jax.jit
+    def forward(variables, imgs, projs, dv):
+        out = model.apply(variables, imgs, projs, dv, train=False)
+        return {
+            "depth": out["stage4"]["depth"],
+            "confidence": out["stage4"]["photometric_confidence"],
+            "stage_depths": [out[f"stage{s}"]["depth"] for s in (1, 2, 3, 4)],
+        }
+
+    return forward
+
+
+def _bucket_hw(h: int, w: int, bucket, max_hw) -> Tuple[int, int]:
+    """Target padded shape under the bucketing policy: ``0``/falsy = native,
+    ``'max'`` = always (max_h, max_w), int N = round up to multiples of N."""
+    if not bucket:
+        return h, w
+    if bucket == "max":
+        if max_hw is None:
+            return h, w
+        return max(h, max_hw[0]), max(w, max_hw[1])
+    n = int(bucket)
+    up = lambda v: -(-v // n) * n
+    return up(h), up(w)
+
+
 def generate_depth_maps(
     model,
     variables,
@@ -71,9 +105,29 @@ def generate_depth_maps(
     combined_ply: bool = True,
     num_workers: int = 4,
     verbose: bool = True,
+    forward=None,
+    shape_bucket=0,
+    max_hw: Tuple[int, int] | None = None,
 ) -> Dict[str, float]:
     """Run eval forwards over ``dataset`` (an EvalDataset-like) and write the
-    artifact tree. Returns timing stats (avg forward seconds / view)."""
+    artifact tree. Returns timing stats (avg forward seconds / view).
+
+    Shape bucketing (``shape_bucket``: 0 off, int N = round HxW up to
+    N-multiples, ``'max'`` = pad every sample to ``max_hw``): eval shapes are
+    data-dependent (the loader snaps each scene to 64-multiples,
+    dataloader_eval.py:94-171), and every distinct shape is a separate XLA
+    compile — minutes each through this environment's remote-compile tunnel.
+    Padding is bottom/right with zeros, which the warp treats exactly like
+    out-of-image samples (zeros padding), and outputs are cropped back to
+    the native shape. NOT bit-exact for the valid region: the FPN top-down
+    and the hypothesis-window upsampling use align-corners resizes whose
+    coordinate mapping depends on the global extent, and the reg U-Net's
+    receptive field crosses the pad boundary — evaluating a padded image is
+    equivalent to evaluating a (zero-margined) larger image. The reference
+    itself rescales/crops scenes per dataset, so eval shape is already a
+    quality parameter rather than an exact contract; use
+    ``shape_bucket=0`` when exact native-shape behaviour is required.
+    """
     import jax
 
     from ..data.io import save_image_u8, save_pfm, write_cam_file
@@ -81,18 +135,13 @@ def generate_depth_maps(
     from .fusion import backproject_to_world
     from .ply import write_ply_ascii_colored
 
-    @jax.jit
-    def forward(variables, imgs, projs, dv):
-        out = model.apply(variables, imgs, projs, dv, train=False)
-        return {
-            "depth": out["stage4"]["depth"],
-            "confidence": out["stage4"]["photometric_confidence"],
-            "stage_depths": [out[f"stage{s}"]["depth"] for s in (1, 2, 3, 4)],
-        }
+    if forward is None:
+        forward = make_eval_forward(model)
 
     loader = DataLoader(dataset, batch_size, num_workers=num_workers)
     times: List[float] = []
     n_views = 0
+    compiled_shapes = set()
     # per-scene accumulated conf-masked world cloud (test_mvs4.py:519-529)
     vertices: List[np.ndarray] = []
     vertex_colors: List[np.ndarray] = []
@@ -101,10 +150,25 @@ def generate_depth_maps(
         imgs = batch["imgs"]
         projs = batch["proj_matrices"]
         dv = batch["depth_values"]
+        Bv, Vv, H, W = imgs.shape[:4]
+        Hb, Wb = _bucket_hw(H, W, shape_bucket, max_hw)
+        if (Hb, Wb) != (H, W):
+            padded = np.zeros((Bv, Vv, Hb, Wb, imgs.shape[-1]), np.asarray(imgs).dtype)
+            padded[:, :, :H, :W] = imgs
+        else:
+            padded = imgs
+        compiled_shapes.add((Hb, Wb, Vv, np.asarray(dv).shape[-1]))
         t0 = time.perf_counter()
-        out = forward(variables, imgs, projs, dv)
+        out = forward(variables, padded, projs, dv)
         out = jax.tree_util.tree_map(np.asarray, jax.block_until_ready(out))
         times.append(time.perf_counter() - t0)
+        if (Hb, Wb) != (H, W):  # crop back to the native shape per stage
+            out["depth"] = out["depth"][:, :H, :W]
+            out["confidence"] = out["confidence"][:, :H, :W]
+            out["stage_depths"] = [
+                sd[:, : H * sd.shape[1] // Hb, : W * sd.shape[2] // Wb]
+                for sd in out["stage_depths"]
+            ]
 
         cams = np.asarray(projs["stage4"])
         for b, filename in enumerate(batch["filename"]):
@@ -174,7 +238,9 @@ def generate_depth_maps(
         "total_time_s": float(np.sum(times)),
         "avg_time_s": float(np.mean(times)) if times else 0.0,
         "views": float(n_views),
+        "forward_shapes": float(len(compiled_shapes)),
     }
+    stats["shapes"] = sorted(compiled_shapes)  # for cross-scene dedup
     if verbose:
         print(
             f"total time: {stats['total_time_s']:.2f}s  "
