@@ -52,10 +52,17 @@ def host_mesh(space: int = 1):
     n_local = jax.local_device_count()
     n_proc = jax.process_count()
     if n_proc > 1:
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n_local // space, space),
-            dcn_mesh_shape=(n_proc, 1),
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(n_local // space, space),
+                dcn_mesh_shape=(n_proc, 1),
+            )
+        except ValueError:
+            # backends without slice topology (multi-process CPU/GPU): group
+            # devices by owning process so the leading axis still maps
+            # host-locality-first
+            devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            devices = np.asarray(devs).reshape(n_proc, n_local // space, space)
         return Mesh(devices.reshape(n_proc * (n_local // space), space),
                     axis_names=("data", "space"))
     from .mesh import make_mesh
