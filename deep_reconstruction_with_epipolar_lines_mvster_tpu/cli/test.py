@@ -87,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_temp", type=float, default=2)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--warp_impl", type=str, default="mxu",
-                   choices=["mxu", "gather"])
+                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "gather"])
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=0)
@@ -155,7 +155,14 @@ def main(argv=None):
                 if args.loadckpt:
                     print(f"=> loading model {args.loadckpt}")
                     variables = load_weights(args.loadckpt, dict(variables))
-                if args.debug_model or args.debug_depth_gen:
+                # --vis_ETA: epipolar attention/warped-view figures
+                # (mvs4net_utils.py:1041-1073) = debug bits 3|5|6;
+                # --vis_stg_features: per-stage FPN features of the ref view
+                # (MVS4Net.py:85-96, test_mvs4.py:94-95) = bit 0
+                vis_bits = (0b1101000 if args.vis_ETA else 0) | (
+                    1 if args.vis_stg_features else 0
+                )
+                if args.debug_model or args.debug_depth_gen or vis_bits:
                     # numeric stand-in for the reference's cv2 debug windows
                     # (MVS4Net.py:85-191, test_mvs4.py:447-517)
                     from ..utils.debug import debug_dump_forward
@@ -167,7 +174,8 @@ def main(argv=None):
                             lambda x: jnp.asarray(x[None]), s0["proj_matrices"]
                         ),
                         jnp.asarray(s0["depth_values"][None]),
-                        bits=args.debug_model or args.debug_depth_gen,
+                        bits=(args.debug_model or args.debug_depth_gen)
+                        | vis_bits,
                         outdir=args.outdir, train=False,
                         tag=f"eval_{scene or 'scene'}",
                     )

@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for the conv path")
     p.add_argument("--warp_impl", type=str, default="mxu",
-                   choices=["mxu", "gather"],
+                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "gather"],
                    help="homography-warp implementation (ops/warp_mxu.py)")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)

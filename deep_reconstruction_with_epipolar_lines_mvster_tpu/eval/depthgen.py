@@ -65,15 +65,24 @@ def make_eval_forward(model):
     compile (the remote-compile tunnel here costs minutes per program —
     SURVEY.md §7 recompile risk)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def forward(variables, imgs, projs, dv):
         out = model.apply(variables, imgs, projs, dv, train=False)
-        return {
+        res = {
             "depth": out["stage4"]["depth"],
             "confidence": out["stage4"]["photometric_confidence"],
             "stage_depths": [out[f"stage{s}"]["depth"] for s in (1, 2, 3, 4)],
         }
+        if "mono_feat" in out.get("stage2", {}):
+            # channel 4 of the per-stage ref features, saved by --save_jpg
+            # --mono in the reference (test_mvs4.py:474-489)
+            res["mono_feats"] = [
+                out[f"stage{s}"]["mono_feat"][..., 4].astype(jnp.float32)
+                for s in (2, 3, 4)
+            ]
+        return res
 
     return forward
 
@@ -169,6 +178,11 @@ def generate_depth_maps(
                 sd[:, : H * sd.shape[1] // Hb, : W * sd.shape[2] // Wb]
                 for sd in out["stage_depths"]
             ]
+            if "mono_feats" in out:
+                out["mono_feats"] = [
+                    mf[:, : H * mf.shape[1] // Hb, : W * mf.shape[2] // Wb]
+                    for mf in out["mono_feats"]
+                ]
 
         cams = np.asarray(projs["stage4"])
         for b, filename in enumerate(batch["filename"]):
@@ -200,6 +214,13 @@ def generate_depth_maps(
                     save_image_u8(
                         path("depth_est", f"stage_{s + 1}.jpg"),
                         _normalize01(np.asarray(sd[b])),
+                    )
+                # mono-feature channel views (reference --save_jpg --mono,
+                # test_mvs4.py:474-489: stages 2-4, channel 4)
+                for s, mf in enumerate(out.get("mono_feats", [])):
+                    save_image_u8(
+                        path("depth_est", f"mono_{s + 2}.jpg"),
+                        _normalize01(np.asarray(mf[b])),
                     )
             if save_ply or combined_ply:
                 conf_mask = conf > depthgen_thres

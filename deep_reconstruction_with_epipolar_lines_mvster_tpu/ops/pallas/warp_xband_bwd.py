@@ -1,0 +1,156 @@
+"""Pallas TPU kernel: x-banded homography-warp BACKWARD (dL/dsrc).
+
+The VJP of the banded interpolation matmul is itself banded:
+
+  dsrc[x, (y, c)] += sum_p  wx[p, x] * wy[p, (y, c)] * g[p, c]
+
+so per (row tile, column chunk) the contribution is one MXU matmul
+
+  dwin = wx^T @ (wy * (g @ fold^T))        [xband, band*C]
+
+accumulated over the tile's rows in a VMEM f32 scratch, then applied to an
+HBM ``dsrc_t [B, Ws, Hs*C]`` accumulator with an explicit DMA
+read-modify-write. TPU Pallas grid cells execute SEQUENTIALLY on a core, so
+the RMW is race-free: each chunk waits for its write before the next
+chunk's read (windows of neighbouring chunks/tiles overlap). The
+accumulator is a zero-initialized f32 input aliased to the output
+(``input_output_aliases``), cast back to the source dtype by the caller.
+
+Gradient flows to ``src`` only — coordinates are stop-gradient, like the
+reference's detached homographies (``mvs4net_utils.py:21-67``) and the XLA
+scan backward (``ops/warp_mxu._warp_one_bwd``).
+
+Scatter-free by construction: the reference's ``grid_sample`` backward is a
+scatter-add, which XLA lowers catastrophically on TPU (~2.2 s/view at the
+DTU stage-4 shape — BENCH_NOTES.md); here every write is a contiguous
+2-D window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, dsrc_ref, out_ref,
+            win_vmem, acc_vmem, sem_r, sem_w, *, band: int, xband: int,
+            tile_rows: int, tile_cols: int, channels: int, align_y: int):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    TC = tile_cols
+    G = x_ref.shape[3] // TC
+    y0 = pl.multiple_of(ystarts_ref[b, n], align_y)
+    ystart = pl.multiple_of(y0 * C, align_y * C)
+    y0f = y0.astype(jnp.float32)
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 1)
+    foldT = (ccol == jrow % C).astype(jnp.float32).T  # [C, band*C] as 2-D
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (TC, band * C), 1) // C
+    ).astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (TC, xband), 1).astype(jnp.float32)
+
+    for g in range(G):
+        x0 = pl.multiple_of(xstarts_ref[b, n, g], 8)
+        x0f = xstarts_ref[b, n, g].astype(jnp.float32)
+
+        acc_vmem[...] = jnp.zeros_like(acc_vmem)
+        for r in range(tile_rows):
+            x = jnp.transpose(
+                x_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )  # [TC, 1]
+            y = jnp.transpose(
+                y_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )
+            gr = g_ref[0, 0, r, pl.ds(g * TC, TC)]  # [TC, C]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (x0f + js)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + kidx)))
+            gexp = jnp.dot(
+                gr.astype(jnp.float32), foldT, preferred_element_type=jnp.float32
+            )  # [TC, band*C]
+            acc_vmem[...] += jax.lax.dot_general(
+                wx, wy * gexp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [xband, band*C]
+
+        # HBM read-modify-write ON THE OUTPUT ref (sequential grid + per-chunk
+        # wait => safe; reading the aliased INPUT ref does not observe prior
+        # grid cells' writes in interpret mode). dsrc_ref only provides the
+        # zero init through the alias.
+        rd = pltpu.make_async_copy(
+            out_ref.at[b, pl.ds(x0, xband), pl.ds(ystart, band * C)],
+            win_vmem, sem_r,
+        )
+        rd.start()
+        rd.wait()
+        win_vmem[...] += acc_vmem[...]
+        wr = pltpu.make_async_copy(
+            win_vmem,
+            out_ref.at[b, pl.ds(x0, xband), pl.ds(ystart, band * C)],
+            sem_w,
+        )
+        wr.start()
+        wr.wait()
+
+
+def warp_tiles_pallas_xband_bwd(
+    g: jnp.ndarray,         # [B, N, TR, W, C] f32/bf16 cotangent
+    xcoords: jnp.ndarray,   # [B, N, TR, W] f32
+    ycoords: jnp.ndarray,   # [B, N, TR, W] f32
+    ystarts: jnp.ndarray,   # [B, N] int32, aligned
+    xstarts: jnp.ndarray,   # [B, N, G] int32, aligned
+    src_shape,              # (B, Hs, Ws, C)
+    *,
+    band: int,
+    xband: int,
+    tile_cols: int,
+    align_y: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:           # [B, Hs, Ws, C] f32
+    B, Hs, Ws, C = src_shape
+    _, N, TR, W = xcoords.shape
+    dsrc0 = jnp.zeros((B, Ws, Hs * C), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, TR, W), lambda b, n, ys, xs: (b, n, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TR, W), lambda b, n, ys, xs: (b, n, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TR, W, C), lambda b, n, ys, xs: (b, n, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # dsrc in/out
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((xband, band * C), jnp.float32),
+            pltpu.VMEM((xband, band * C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dsrc_t = pl.pallas_call(
+        functools.partial(
+            _kernel, band=band, xband=xband, tile_rows=TR,
+            tile_cols=tile_cols, channels=C, align_y=align_y,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Ws, Hs * C), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={5: 0},  # dsrc0 (6th operand incl. 2 prefetch)
+        interpret=interpret,
+    )(ystarts, xstarts, xcoords, ycoords, g, dsrc0)
+    return jnp.swapaxes(dsrc_t.reshape(B, Ws, Hs, C), 1, 2)

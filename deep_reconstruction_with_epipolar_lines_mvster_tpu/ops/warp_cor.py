@@ -74,7 +74,7 @@ def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows,
           xband=0, tile_cols=128):
     B, D, H, W = depth_hypo.shape
     if (
-        impl in ("mxu", "mxu_pallas")
+        impl in ("mxu", "mxu_pallas", "mxu_hybrid")
         and H % tile_rows == 0
         and src_fea.shape[1] >= band
     ):
@@ -84,6 +84,7 @@ def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows,
             src_fea, rel_proj, depth_hypo, band=band, tile_rows=tile_rows,
             xband=xband, tile_cols=tile_cols,
             use_pallas=impl == "mxu_pallas",
+            hybrid=impl == "mxu_hybrid",
         )
     coords = warp_coords(rel_proj, depth_hypo)
     return grid_sample_2d(src_fea, coords)  # [B, D, H, W, C]

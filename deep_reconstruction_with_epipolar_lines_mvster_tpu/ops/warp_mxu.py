@@ -298,6 +298,113 @@ def _warp_one_bwd(band, tile_rows, res, g):
 _warp_one.defvjp(_warp_one_fwd, _warp_one_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _warp_batched_pallas_xband(src, coords, band, tile_rows, xband, tile_cols):
+    return _warp_batched_pallas_xband_fwd(
+        src, coords, band, tile_rows, xband, tile_cols
+    )[0]
+
+
+def _xband_tile_plan(coords, band, tile_rows, xband, tile_cols, Hs, Ws, C):
+    """Shared fwd/bwd geometry for the x-banded Pallas kernels: row-tile
+    coord grids and the ALIGNED window starts/sizes.
+
+    Alignment (widening only ADDS zero-weight taps, so results are
+    unchanged): row starts aligned down to ``align_y = 128 // C`` (the
+    window's VMEM lane start is ``y0*C``) with the band widened by one
+    align; column starts aligned down to 8 sublanes with ``xband`` widened
+    by 8."""
+    B, D, H, W, _ = coords.shape
+    align_y = max(1, 128 // C)
+    band_al = -(-band // align_y) * align_y + align_y
+    xband_al = -(-(xband + 8) // 8) * 8
+
+    tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
+    ystarts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    ystarts = (ystarts // align_y) * align_y
+    ystarts = jnp.clip(
+        ystarts, 0, max(((Hs - band_al) // align_y) * align_y, 0)
+    )
+    N = tiles.shape[1]
+    xg = tiles[..., 0].reshape(B, N, tile_rows, W)
+    yg = tiles[..., 1].reshape(B, N, tile_rows, W)
+    G = W // tile_cols
+    xmin = xg.reshape(B, N, tile_rows, G, tile_cols).min(axis=(2, 4))  # [B,N,G]
+    xstarts = (jnp.floor(xmin).astype(jnp.int32) - 1) // 8 * 8
+    xstarts = jnp.clip(xstarts, 0, max((Ws - xband_al) // 8 * 8, 0))
+    return (
+        xg, yg, ystarts.astype(jnp.int32), xstarts.astype(jnp.int32),
+        band_al, xband_al, align_y,
+    )
+
+
+def _warp_batched_pallas_xband_fwd(src, coords, band, tile_rows, xband, tile_cols):
+    """Forward through the x-banded Pallas kernel (ops/pallas/warp_xband_kernel)."""
+    from .pallas.warp_xband_kernel import warp_tiles_pallas_xband
+
+    B, Hs, Ws, C = src.shape
+    _, D, H, W, _ = coords.shape
+    xg, yg, ystarts, xstarts, band_al, xband_al, align_y = _xband_tile_plan(
+        coords, band, tile_rows, xband, tile_cols, Hs, Ws, C
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = warp_tiles_pallas_xband(
+        src, xg, yg, ystarts, xstarts,
+        band=band_al, xband=xband_al, tile_cols=tile_cols, align_y=align_y,
+        interpret=interpret,
+    )
+    return out.reshape(B, D, H, W, C), (src, coords)
+
+
+def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
+    """dL/dsrc through the x-banded Pallas backward kernel (HBM RMW
+    accumulation over the sequential grid — ops/pallas/warp_xband_bwd)."""
+    from .pallas.warp_xband_bwd import warp_tiles_pallas_xband_bwd
+
+    src, coords = res
+    B, Hs, Ws, C = src.shape
+    _, D, H, W, _ = coords.shape
+    xg, yg, ystarts, xstarts, band_al, xband_al, align_y = _xband_tile_plan(
+        coords, band, tile_rows, xband, tile_cols, Hs, Ws, C
+    )
+    T = H // tile_rows
+    g_blocks = g.reshape(B, D * T, tile_rows, W, C)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    dsrc = warp_tiles_pallas_xband_bwd(
+        g_blocks, xg, yg, ystarts, xstarts, (B, Hs, Ws, C),
+        band=band_al, xband=xband_al, tile_cols=tile_cols, align_y=align_y,
+        interpret=interpret,
+    )
+    return dsrc.astype(src.dtype), None
+
+
+_warp_batched_pallas_xband.defvjp(
+    _warp_batched_pallas_xband_fwd, _warp_batched_pallas_xband_bwd
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _warp_hybrid(src, coords, band, tile_rows, xband, tile_cols):
+    """Measured-fastest combination on v5e (BENCH_NOTES.md round 2): XLA
+    scan FORWARD (the full-width banded matmul XLA schedules better than the
+    hand-written kernels) + x-banded Pallas BACKWARD (2.2x the scan backward
+    at stage 4, 7.4x at stage 3 — the scan backward's sequential
+    dynamic-update-slice accumulation is its bottleneck, which the kernel's
+    sequential-grid HBM RMW avoids while also cutting the contraction from
+    Ws to xband)."""
+    return _warp_hybrid_fwd(src, coords, band, tile_rows, xband, tile_cols)[0]
+
+
+def _warp_hybrid_fwd(src, coords, band, tile_rows, xband, tile_cols):
+    out = jax.vmap(lambda s, c: _warp_one_fwd(s, c, band, tile_rows)[0])(
+        src, coords
+    )
+    return out, (src, coords)
+
+
+_warp_hybrid.defvjp(_warp_hybrid_fwd, _warp_batched_pallas_xband_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _warp_batched_pallas(src, coords, band, tile_rows):
     return _warp_batched_pallas_fwd(src, coords, band, tile_rows)[0]
@@ -354,6 +461,7 @@ def homo_warp_mxu(
     xband: int = 0,
     tile_cols: int = 128,
     use_pallas: bool = False,
+    hybrid: bool = False,
 ) -> jnp.ndarray:
     """Gather-free bilinear homography warp: ``[B,Hs,Ws,C] -> [B,D,H,W,C]``.
 
@@ -363,14 +471,38 @@ def homo_warp_mxu(
     span and ``xband`` the per-column-chunk source-column span (see module
     docstring; validate with :func:`band_coverage`). ``xband=0`` disables
     column chunking (full-width contraction). ``use_pallas`` runs the
-    forward through the Pallas tile kernel (weights built in VMEM — no
-    per-tile HBM weight traffic).
+    forward through a Pallas tile kernel (weights built in VMEM — no
+    per-tile HBM weight traffic); ``hybrid`` keeps the XLA scan forward but
+    routes the backward through the x-banded Pallas kernel — the fastest
+    measured fwd+bwd combination on v5e (BENCH_NOTES.md round 2). Stages
+    whose width/height don't fit the kernels fall back to the scan path.
     """
     coords = warp_coords(rel_proj, depth_values)  # [B, D, H, W, 2], stop-grad
+    Hs, Ws_, C = src_fea.shape[1], src_fea.shape[2], src_fea.shape[-1]
+    W_ = depth_values.shape[-1]
+    align = max(1, 128 // C)
+    band_al = -(-band // align) * align + align
+
+    if hybrid and xband and band_al <= Hs and Hs % align == 0:
+        # per-stage effective chunking: keep the configured x margin
+        # (xband - tile_cols) when the stage width forces smaller chunks
+        tc = next((t for t in (tile_cols, 128, 64, 32, 16) if W_ % t == 0), 0)
+        xb = max(xband - tile_cols + tc, tc + 16) if tc else 0
+        xb_al = -(-(xb + 8) // 8) * 8 if xb else 0
+        if tc and xb_al <= Ws_:
+            return _warp_hybrid(src_fea, coords, band, tile_rows, xb, tc)
+        # stage too narrow for the kernel: scan fwd+bwd fallback below
     if use_pallas:
-        Hs, C = src_fea.shape[1], src_fea.shape[-1]
-        align = max(1, 128 // C)
-        band_al = -(-band // align) * align + align
+        xband_al = -(-(xband + 8) // 8) * 8 if xband else 0
+        if (
+            xband
+            and band_al <= Hs and Hs % align == 0
+            and W_ % tile_cols == 0
+            and xband_al <= Ws_
+        ):
+            return _warp_batched_pallas_xband(
+                src_fea, coords, band, tile_rows, xband, tile_cols
+            )
         if band_al <= Hs and Hs % align == 0:
             return _warp_batched_pallas(src_fea, coords, band, tile_rows)
         # shapes too small for the aligned-band kernel: scan fallback

@@ -49,6 +49,7 @@ def test_gendepth_then_filter(tmp_path):
             f"depth_est/{v:0>8}.pfm",
             f"depth_est/{v:0>8}.png",
             f"depth_est/{v:0>8}stage_4.jpg",
+            f"depth_est/{v:0>8}mono_4.jpg",
             f"confidence/{v:0>8}.pfm",
             f"cams/{v:0>8}_cam.txt",
         ):

@@ -192,3 +192,98 @@ def test_band_coverage_flags_small_band():
     src, rel, depth = _setup(B=1, H=64, W=64, tilt=0.5)
     cov_small = float(band_coverage(rel, depth, 64, band=4, tile_rows=16))
     assert cov_small > 0.0
+
+
+def test_pallas_xband_kernel_matches_gather_path():
+    """x-banded Pallas kernel (interpret mode on CPU) vs the gather
+    reference: values (incl. zeros-padding OOB region) + gradients, plus a
+    wide-channel case (C=64 -> align_y=2 window alignment)."""
+    src, rel, depth = _setup(B=2, H=32, W=64)
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=48, tile_cols=32,
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda s: (grid_sample_2d(s, warp_coords(rel, depth)) ** 2).sum()
+    )(src)
+    g_got = jax.grad(
+        lambda s: (
+            homo_warp_mxu(
+                s, rel, depth, band=16, tile_rows=8, xband=48, tile_cols=32,
+                use_pallas=True,
+            ) ** 2
+        ).sum()
+    )(src)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
+
+    # OOB zeros padding
+    src2, rel2, depth2 = _setup(B=1, H=32, W=64, baseline=40.0)
+    ref2 = np.asarray(grid_sample_2d(src2, warp_coords(rel2, depth2)))
+    got2 = np.asarray(homo_warp_mxu(
+        src2, rel2, depth2, band=32, tile_rows=8, xband=48, tile_cols=32,
+        use_pallas=True,
+    ))
+    assert (np.abs(ref2) < 1e-6).mean() > 0.1
+    np.testing.assert_allclose(got2, ref2, atol=2e-5)
+
+    # C=64: align_y=2, non-multiple-of-8 aligned band (18 rows)
+    rng = np.random.default_rng(3)
+    src3 = jnp.asarray(rng.standard_normal((2, 32, 64, 64)).astype(np.float32))
+    ref3 = grid_sample_2d(src3, warp_coords(rel, depth))
+    got3 = homo_warp_mxu(
+        src3, rel, depth, band=16, tile_rows=8, xband=48, tile_cols=32,
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3), atol=2e-5)
+
+
+def test_hybrid_warp_matches_gather_path():
+    """mxu_hybrid = XLA scan forward + x-banded Pallas backward (the
+    measured-fastest combination on v5e, BENCH_NOTES.md round 2): values and
+    gradients vs the gather reference, incl. the adaptive tile_cols fallback
+    for widths not divisible by the configured chunk."""
+    src, rel, depth = _setup(B=2, H=32, W=64)
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=32,
+        hybrid=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda s: ((grid_sample_2d(s, warp_coords(rel, depth)) ** 2)
+                   + 0.3 * grid_sample_2d(s, warp_coords(rel, depth))).sum()
+    )(src)
+    g_got = jax.grad(
+        lambda s: ((homo_warp_mxu(
+            s, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=32,
+            hybrid=True,
+        ) ** 2) + 0.3 * homo_warp_mxu(
+            s, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=32,
+            hybrid=True,
+        )).sum()
+    )(src)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
+
+    # adaptive tile_cols: W=64 with configured tile_cols=128 drops to 64
+    got2 = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=192, tile_cols=128,
+        hybrid=True,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref), atol=2e-5)
+    g2 = jax.grad(
+        lambda s: (homo_warp_mxu(
+            s, rel, depth, band=16, tile_rows=8, xband=192, tile_cols=128,
+            hybrid=True,
+        ) ** 2).sum()
+    )(src)
+    g2_ref = jax.grad(
+        lambda s: (grid_sample_2d(s, warp_coords(rel, depth)) ** 2).sum()
+    )(src)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2_ref), atol=1e-3,
+                               rtol=1e-4)
