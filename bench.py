@@ -68,7 +68,8 @@ def main():
             try:
                 with open(fname) as f:
                     rec = json.load(f)
-                baseline = rec.get("value", baseline)
+                # the driver wraps the metric under "parsed"
+                baseline = rec.get("value") or rec.get("parsed", {}).get("value")
                 break  # earliest round
             except Exception:
                 pass

@@ -80,12 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_temp", type=float, default=2)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for the conv path")
-    p.add_argument("--warp_impl", type=str, default="mxu",
+    p.add_argument("--warp_impl", type=str, default="mxu_hybrid",
                    choices=["mxu", "mxu_pallas", "mxu_hybrid", "gather"],
                    help="homography-warp implementation (ops/warp_mxu.py)")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
-    p.add_argument("--warp_xband", type=int, default=0)
+    p.add_argument("--warp_xband", type=int, default=192)
     p.add_argument("--warp_tile_cols", type=int, default=128)
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")

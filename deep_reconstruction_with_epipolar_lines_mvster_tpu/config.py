@@ -64,14 +64,19 @@ class ModelConfig:
     remat: bool = True                  # rematerialize backbone + reg U-Nets
                                         # (activation memory; the reference's
                                         # analog is eager-mode `del`s)
-    warp_impl: str = "mxu"              # 'mxu' (banded-matmul, gather-free,
-                                        # TPU-fast) | 'gather' (XLA gather,
-                                        # exact fallback for any geometry)
+    warp_impl: str = "mxu_hybrid"       # 'mxu_hybrid' (XLA-scan fwd +
+                                        # x-banded Pallas bwd — fastest
+                                        # measured, BENCH_NOTES.md round 2)
+                                        # | 'mxu' (scan fwd+bwd)
+                                        # | 'mxu_pallas' (Pallas fwd)
+                                        # | 'gather' (XLA gather, exact
+                                        # fallback for any geometry)
     warp_band: int = 16                 # source-row band for the mxu warp
     warp_tile_rows: int = 8             # output rows per mxu warp tile
-    warp_xband: int = 0                 # source-column band per chunk (0=off;
-                                        # measured slower than full-width on
-                                        # v5e — see BENCH_NOTES.md x-banding)
+    warp_xband: int = 192               # source-column band per chunk at
+                                        # tile_cols=128 (margin is preserved
+                                        # when stages force smaller chunks);
+                                        # 0 = full-width contraction
     warp_tile_cols: int = 128           # output cols per mxu warp chunk
 
     @property
