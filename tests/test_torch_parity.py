@@ -384,3 +384,40 @@ def test_full_model_parity_forward_depth_no_mono():
         ref_out = ref_net(imgs_list, projs_t, dv_t)
     flax_out = _flax_outputs(cfg, variables, batch, train=False)
     _assert_stage_close(ref_out, flax_out, cfg.num_stages, train=False)
+
+
+def test_full_model_parity_reg3d():
+    """reg3d regularizer variant (true 3-D U-Net, reference
+    mvs4net_utils.py:928-979, down_size schedule MVS4Net.py:57-58) —
+    exercises the _reg3d_entries branch of the transplant converter."""
+    cfg = _make_cfg(reg_mode="reg3d", mono=False)
+    ref_net, _ = _build_ref(cfg, seed=2)
+    # >=128px: reg3d's down_size=3 stage-1 path reduces 64px inputs to a
+    # single value per channel, which torch train-mode BN rejects
+    batch = _batch(2, 3, 128, 128)
+    _train_briefly(
+        ref_net, batch,
+        LossConfig(
+            l1_lw=0.003, ot_lw=1.0, inverse_depth=True, mono=False,
+            ot_iter=3, ot_eps=1.0,
+        ),
+        iters=15,
+    )
+    imgs_list, projs_t, dv_t = _torch_inputs(batch)
+
+    model = MVS4Net(cfg)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"][:1]),
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"][:1]),
+        train=True,
+    )
+    variables = torch_state_dict_to_flax(ref_net.state_dict(), template, cfg)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    ref_net.eval()
+    with torch.no_grad():
+        ref_out = ref_net(imgs_list, projs_t, dv_t)
+    flax_out = _flax_outputs(cfg, variables, batch, train=False)
+    _assert_stage_close(ref_out, flax_out, cfg.num_stages, train=False)
