@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(ystarts_ref, xstarts_ref, x_ref, y_ref, src_t_ref, out_ref,
             win_vmem, sems, *, band: int, xband: int, tile_rows: int,
-            tile_cols: int, channels: int, align_y: int):
+            tile_cols: int, channels: int, align_y: int,
+            fold_mode: str = "matmul"):
     b = pl.program_id(0)
     n = pl.program_id(1)
     C = channels
@@ -95,7 +96,15 @@ def _kernel(ystarts_ref, xstarts_ref, x_ref, y_ref, src_t_ref, out_ref,
                 wx.astype(win.dtype), win, preferred_element_type=jnp.float32
             )  # [TC, band*C]
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + kidx)))
-            out = jnp.dot(wy * z, fold, preferred_element_type=jnp.float32)
+            zz = wy * z
+            if fold_mode == "slices":
+                # (k, c)->c reduction as `band` static lane-slice adds: the
+                # fold matmul's N=C=8 output lanes run the MXU at 1/16
+                out = zz[:, 0:C]
+                for k in range(1, band):
+                    out = out + zz[:, k * C : (k + 1) * C]
+            else:
+                out = jnp.dot(zz, fold, preferred_element_type=jnp.float32)
             out_ref[0, 0, r, pl.ds(g * TC, TC)] = out.astype(out_ref.dtype)
 
 
@@ -111,6 +120,7 @@ def warp_tiles_pallas_xband(
     tile_cols: int,
     align_y: int = 1,
     interpret: bool = False,
+    fold_mode: str = "matmul",
 ) -> jnp.ndarray:           # [B, N, TR, W, C]
     B, Hs, Ws, C = src.shape
     _, N, TR, W = xcoords.shape

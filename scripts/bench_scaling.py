@@ -10,7 +10,10 @@ import json
 import time
 
 
-def main():
+def main(argv=None):
+    import sys
+
+    args = (argv if argv is not None else sys.argv[1:]) or []
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +46,13 @@ def main():
         mono=True, dtype="bfloat16",
     )
     lcfg = LossConfig(inverse_depth=True, mono=True, l1_lw=0.003, ot_iter=3)
-    per_device_batch = 2
-    V, H, W = 5, 512, 640
+    # optional overrides: H W V per_device_batch (small shapes let the table
+    # run functionally on the virtual CPU mesh; efficiency numbers are only
+    # meaningful on real multi-chip hardware)
+    H = int(args[0]) if len(args) > 0 else 512
+    W = int(args[1]) if len(args) > 1 else 640
+    V = int(args[2]) if len(args) > 2 else 5
+    per_device_batch = int(args[3]) if len(args) > 3 else 2
 
     model = MVS4Net(cfg)
     devices = jax.devices()
