@@ -58,6 +58,13 @@ def main(root="lists"):
     for i in (160, 170, 175, 177, 180, 185, 191):
         write(f"{root}/BDS8/eval_scene{i}.txt", [f"scene{i}"])
 
+    # Bin (real-capture bin picking rig) single-scene eval lists
+    # (reference lists/Bin/*)
+    for i in (1, 2, 3, 4, 5, 7):
+        write(f"{root}/Bin/eval_scene{i}.txt", [f"scene{i}"])
+    write(f"{root}/Bin/eval_scan7.txt", ["scan7"])
+    write(f"{root}/BDS8/eval_scan7.txt", ["scan7"])
+
     write(f"{root}/blendedmvs/val.txt", BLENDEDMVS_VAL)
 
 
