@@ -85,7 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vis_ETA", action="store_true")
     p.add_argument("--vis_stg_features", type=int, default=0)
     p.add_argument("--attn_temp", type=float, default=2)
-    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 eval compute (accuracy-neutral on trained "
+                        "nets and ~21%% faster on TPU — BENCH_NOTES.md; "
+                        "default f32 matches the reference)")
     p.add_argument("--warp_impl", type=str, default="mxu_hybrid",
                    choices=["mxu", "mxu_pallas", "mxu_hybrid", "gather"])
     p.add_argument("--warp_band", type=int, default=16)

@@ -42,4 +42,5 @@ python train_mvs4.py \
   --inverse_depth \
   --attn_temp 2 \
   --loadckpt "$CHKPT" \
+  --bf16 \
   $PY_ARGS 2>&1 | tee "$LOG_DIR/log_${exp}.txt"

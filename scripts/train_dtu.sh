@@ -48,4 +48,5 @@ python train_mvs4.py \
   --inverse_depth \
   --attn_temp 2 \
   --seed 0 \
+  --bf16 \
   $PY_ARGS 2>&1 | tee "$LOG_DIR/log_${exp}.txt"
