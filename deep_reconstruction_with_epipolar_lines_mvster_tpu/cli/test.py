@@ -157,7 +157,7 @@ def main(argv=None):
                 )
                 if args.loadckpt:
                     print(f"=> loading model {args.loadckpt}")
-                    variables = load_weights(args.loadckpt, dict(variables))
+                    variables = load_weights(args.loadckpt, dict(variables), model_cfg=mcfg)
                 # --vis_ETA: epipolar attention/warped-view figures
                 # (mvs4net_utils.py:1041-1073) = debug bits 3|5|6;
                 # --vis_stg_features: per-stage FPN features of the ref view

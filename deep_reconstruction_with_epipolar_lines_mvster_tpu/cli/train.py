@@ -214,7 +214,7 @@ def main(argv=None):
     )
     if args.loadckpt:
         print(f"warm-starting from {args.loadckpt}")
-        variables = load_weights(args.loadckpt, dict(variables))
+        variables = load_weights(args.loadckpt, dict(variables), model_cfg=mcfg)
 
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"Number of model parameters: {n_params}")

@@ -71,12 +71,26 @@ def restore_checkpoint(path: str, state_template: TrainState) -> Tuple[TrainStat
     return payload["state"], int(payload["epoch"]) + 1
 
 
-def load_weights(path: str, variables_template: Any) -> Any:
+def load_weights(path: str, variables_template: Any, model_cfg: Any = None) -> Any:
     """Warm start (reference --loadckpt): model params + batch stats only, no
     optimizer/epoch. ``variables_template`` is a {'params', 'batch_stats'}
-    dict; restore is strict (structure must match)."""
+    dict; restore is strict (structure must match).
+
+    Reference PyTorch checkpoints (``torch.save`` zip/pickle files, e.g. the
+    released DTU weights) are detected by magic bytes and transplanted
+    through ``utils.torch_port`` when ``model_cfg`` is provided."""
     with open(path, "rb") as f:
         data = f.read()
+    if data[:4] == b"PK\x03\x04" or data[:2] == b"\x80\x02":
+        if model_cfg is None:
+            raise ValueError(
+                f"{path} is a PyTorch checkpoint; pass model_cfg so it can "
+                "be transplanted (utils.torch_port.load_reference_checkpoint)"
+            )
+        from ..utils.torch_port import load_reference_checkpoint
+
+        converted = load_reference_checkpoint(path, variables_template, model_cfg)
+        return {**dict(variables_template), **converted}
     # opt_state structure is unknown to the caller; deserialize leniently by
     # reading the raw dict and picking the model subtrees.
     raw = serialization.msgpack_restore(data)

@@ -421,3 +421,38 @@ def test_full_model_parity_reg3d():
         ref_out = ref_net(imgs_list, projs_t, dv_t)
     flax_out = _flax_outputs(cfg, variables, batch, train=False)
     _assert_stage_close(ref_out, flax_out, cfg.num_stages, train=False)
+
+
+def test_load_weights_detects_reference_ckpt(tmp_path):
+    """--loadckpt with a reference torch .ckpt (torch.save zip with a
+    'model' key, train_mvs4.py:552) transparently transplants through
+    utils.torch_port — the path a user of the reference's released DTU
+    weights hits."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train import load_weights
+
+    cfg = _make_cfg(mono=False)
+    ref_net, _ = _build_ref(cfg, seed=3)
+    path = str(tmp_path / "model_21.ckpt")
+    torch.save({"model": ref_net.state_dict(), "epoch": 21}, path)
+
+    batch = _batch(1, 3, 64, 64)
+    model = MVS4Net(cfg)
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"]),
+        jax.tree_util.tree_map(jnp.asarray, batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"]),
+        train=True,
+    )
+    variables = load_weights(path, dict(template), model_cfg=cfg)
+    # spot-check one tensor made the trip (stem conv kernel)
+    ref_w = ref_net.state_dict()["feature.conv0.0.conv.weight"].numpy()
+    feat_key = next(k for k in variables["params"] if "FPN4" in k)
+    got = np.asarray(
+        variables["params"][feat_key]["ConvBnReLU_0"]["Conv_0"]["kernel"]
+    )
+    np.testing.assert_allclose(got, ref_w.transpose(2, 3, 1, 0), rtol=1e-6)
+
+    # and without model_cfg the detection raises a helpful error
+    with pytest.raises(ValueError, match="PyTorch checkpoint"):
+        load_weights(path, dict(template))
