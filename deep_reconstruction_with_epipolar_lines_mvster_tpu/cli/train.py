@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_tile_cols", type=int, default=128)
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="disable backbone/reg rematerialization (8%% faster "
+                        "step when the activations fit — they do at the DTU "
+                        "recipe shape in bf16; keep remat for bigger "
+                        "batches/resolutions)")
     return p
 
 
@@ -113,6 +118,7 @@ def make_model_config(args):
         asff=args.ASFF,
         attn_temp=args.attn_temp,
         dtype="bfloat16" if args.bf16 else "float32",
+        remat=not getattr(args, "no_remat", False),
         warp_impl=args.warp_impl,
         warp_band=args.warp_band,
         warp_tile_rows=args.warp_tile_rows,

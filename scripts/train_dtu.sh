@@ -49,4 +49,5 @@ python train_mvs4.py \
   --attn_temp 2 \
   --seed 0 \
   --bf16 \
+  --no_remat \
   $PY_ARGS 2>&1 | tee "$LOG_DIR/log_${exp}.txt"
