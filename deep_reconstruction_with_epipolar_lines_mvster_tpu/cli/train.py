@@ -89,6 +89,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_tile_cols", type=int, default=128)
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")
+    p.add_argument("--dp_impl", type=str, default="gspmd",
+                   choices=["gspmd", "shard_map"],
+                   help="data-parallel implementation under a device mesh: "
+                        "gspmd (XLA-inserted collectives, SyncBN-like global"
+                        "-batch BN) or shard_map (explicit pmean, per-shard "
+                        "BN = reference DDP semantics; required for Pallas "
+                        "kernels to shard at scale)")
     p.add_argument("--no_remat", action="store_true",
                    help="disable backbone/reg rematerialization (8%% faster "
                         "step when the activations fit — they do at the DTU "
@@ -250,7 +257,7 @@ def main(argv=None):
         fit(
             model, variables, train_loader, val_loader, tcfg, lcfg,
             logdir=args.logdir, resume=args.resume, mesh=mesh,
-            is_host0=host_id == 0, to_device=to_dev,
+            dp_impl=args.dp_impl, is_host0=host_id == 0, to_device=to_dev,
         )
     elif args.mode == "test":
         # standalone validation sweep — the reference's --mode test crashes on

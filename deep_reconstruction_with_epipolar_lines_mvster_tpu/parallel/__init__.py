@@ -11,6 +11,7 @@ from .mesh import (
     shard_batch,
     shard_eval_forward,
     shard_train_step,
+    shard_train_step_shard_map,
 )
 
 __all__ = [
@@ -23,5 +24,6 @@ __all__ = [
     "shard_batch",
     "shard_eval_forward",
     "shard_train_step",
+    "shard_train_step_shard_map",
     "sync_hosts",
 ]

@@ -34,6 +34,7 @@ def fit(
     logdir: str,
     resume: bool = False,
     mesh=None,
+    dp_impl: str = "gspmd",
     is_host0: bool = True,
     to_device: Callable[[Dict[str, Any]], Dict[str, Any]] | None = None,
 ) -> TrainState:
@@ -64,20 +65,42 @@ def fit(
     # program and no per-step D2H cost (reference logs depth/GT/error-map
     # grids at every summary step, train_mvs4.py:368-379)
     if mesh is not None:
-        from ..parallel import replicate, shard_batch, shard_train_step
+        from ..parallel import (
+            replicate,
+            shard_batch,
+            shard_train_step,
+            shard_train_step_shard_map,
+        )
 
         state = replicate(state, mesh)
-        train_step = shard_train_step(
-            make_train_step(model, loss_cfg, tx, with_images=True),
-            mesh, with_images=True,
-        )
+        if dp_impl == "shard_map":
+            # per-shard execution (reference DDP BatchNorm semantics; pallas
+            # kernels shard instead of replicating — parallel/mesh.py)
+            train_step = shard_train_step_shard_map(
+                make_train_step(
+                    model, loss_cfg, tx, with_images=True, axis_name="data"
+                ),
+                mesh, with_images=True,
+            )
+        else:
+            train_step = shard_train_step(
+                make_train_step(model, loss_cfg, tx, with_images=True),
+                mesh, with_images=True,
+            )
+        from ..parallel.mesh import pad_batch_to_multiple
+
+        n_data = mesh.shape["data"]
         put = lambda b: shard_batch(b, mesh)
+        # val loader keeps drop_last=False (reference train_mvs4.py:595);
+        # wrap-pad uneven trailing batches to the data-axis multiple
+        put_val = lambda b: shard_batch(pad_batch_to_multiple(b, n_data), mesh)
     else:
         train_step = jax.jit(
             make_train_step(model, loss_cfg, tx, with_images=True),
             donate_argnums=0,
         )
         put = to_device or (lambda b: b)
+        put_val = put
     eval_step = jax.jit(make_eval_step(model, loss_cfg, with_images=True))
 
     writer = MetricWriter(logdir) if is_host0 else None
@@ -121,7 +144,7 @@ def fit(
         ):
             meter = DictAverageMeter()
             for it, batch in enumerate(val_loader):
-                scalars, images = eval_step(state, put(strip(batch)))
+                scalars, images = eval_step(state, put_val(strip(batch)))
                 scalars = {k: float(v) for k, v in scalars.items()}
                 meter.update(scalars)
                 if is_host0 and it % train_cfg.summary_freq == 0:

@@ -44,3 +44,93 @@ def test_entry_compiles_tiny():
     )
     assert np.isfinite(np.asarray(depth)).all()
     assert depth.shape == (1, 64, 64)
+
+
+def test_shard_map_step_matches_gspmd():
+    """shard_map-based sharded train step (explicit pmean collectives, local
+    pallas shapes) produces the same updated state and scalars as the GSPMD
+    jit version on the 8-device CPU mesh — and uses shapes large enough that
+    the hybrid warp's Pallas backward actually engages (W=256 > xband_al)."""
+    import jax.numpy as jnp
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        LossConfig,
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.data.synthetic import (
+        batch_samples,
+        make_plane_scene,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import MVS4Net
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel import (
+        replicate,
+        shard_batch,
+        shard_train_step,
+        shard_train_step_shard_map,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train.schedule import (
+        warmup_multistep,
+    )
+
+    cfg = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        warp_impl="mxu_hybrid", warp_xband=96, warp_tile_cols=32,
+        remat=False,
+    )
+    lcfg = LossConfig(inverse_depth=True, l1_lw=0.003, ot_iter=2)
+    model = MVS4Net(cfg)
+    # ONE sample replicated 8x: per-shard BatchNorm statistics then equal
+    # the global-batch statistics, so the two shardings must agree exactly.
+    # (On distinct samples they legitimately differ: GSPMD normalizes over
+    # the GLOBAL batch — SyncBN semantics — while shard_map normalizes per
+    # shard, which is the reference's per-GPU DDP BatchNorm behaviour;
+    # documented in parallel/mesh.py.)
+    scenes = [make_plane_scene(V=2, H=64, W=256, seed=0) for _ in range(8)]
+    for s in scenes:
+        for k in ("view_depths", "intrinsics", "extrinsics"):
+            s.pop(k)
+    batch = batch_samples(scenes)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"][:1]),
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"][:1]),
+        train=True,
+    )
+    # SGD for the comparison: Adam's first step is ~sign(grad)*lr, which
+    # flips on near-zero grads under different f32 reduction orders
+    import optax
+
+    tx = optax.sgd(1e-3)
+    mesh = make_mesh(jax.devices()[:8], space=1)
+    sharded = shard_batch(batch, mesh)
+
+    def run(build):
+        # fresh host copies per run: jit donation deletes the device buffers
+        # and device_put may reuse a cached placement of the same array
+        fresh = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), variables)
+        state = replicate(TrainState.create(fresh, tx), mesh)
+        with mesh:
+            new_state, scalars = build(state, sharded)
+        return (
+            jax.device_get(new_state.params),
+            {k: float(v) for k, v in scalars.items()},
+        )
+
+    gspmd_step = shard_train_step(make_train_step(model, lcfg, tx), mesh)
+    smap_step = shard_train_step_shard_map(
+        make_train_step(model, lcfg, tx, axis_name="data"), mesh
+    )
+    p_ref, s_ref = run(gspmd_step)
+    p_smap, s_smap = run(smap_step)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-7),
+        p_ref, p_smap,
+    )
+    assert abs(s_ref["loss"] - s_smap["loss"]) < 1e-3
