@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
     p.add_argument("--warp_tile_cols", type=int, default=128)
+    p.add_argument("--pack_conv", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="width-packed (space-to-depth) execution of the "
+                        "small-channel FPN/reg2d convs — math-identical, "
+                        "~5x faster on TPU (ops/packed_conv.py). Default: "
+                        "auto (on for TPU, off for CPU where the k-fold "
+                        "FLOP inflation loses)")
     p.add_argument("--debug_model", type=int, default=0)
     p.add_argument("--debug_depth_gen", type=int, default=0)
     p.add_argument("--debug_depth_filter", type=int, default=0)

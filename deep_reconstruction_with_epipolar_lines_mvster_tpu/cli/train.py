@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
     p.add_argument("--warp_tile_cols", type=int, default=128)
+    p.add_argument("--pack_conv", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="width-packed (space-to-depth) execution of the "
+                        "small-channel FPN/reg2d convs — math-identical, "
+                        "~5x faster on TPU (ops/packed_conv.py). Default: "
+                        "auto (on for TPU, off for CPU where the k-fold "
+                        "FLOP inflation loses)")
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")
     p.add_argument("--dp_impl", type=str, default="gspmd",
@@ -106,6 +113,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_model_config(args):
     from ..config import ModelConfig, parse_float_list, parse_int_list
+
+    pack = getattr(args, "pack_conv", None)
+    if pack is None:
+        # auto: packed execution wins on TPU (lane fill), loses on CPU
+        # (k-fold FLOP inflation on a backend with fine small-C convs)
+        import jax
+
+        pack = jax.default_backend() not in ("cpu",)
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),
@@ -131,6 +146,7 @@ def make_model_config(args):
         warp_tile_rows=args.warp_tile_rows,
         warp_xband=args.warp_xband,
         warp_tile_cols=args.warp_tile_cols,
+        pack_conv=pack,
     )
 
 

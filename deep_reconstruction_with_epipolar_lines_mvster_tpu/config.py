@@ -78,6 +78,11 @@ class ModelConfig:
                                         # when stages force smaller chunks);
                                         # 0 = full-width contraction
     warp_tile_cols: int = 128           # output cols per mxu warp chunk
+    pack_conv: bool = False             # width-packed (space-to-depth) conv
+                                        # execution for the small-channel
+                                        # FPN-stem/reg2d convs — math-
+                                        # identical, ~5-8x faster on TPU
+                                        # (ops/packed_conv.py; BENCH_NOTES)
 
     @property
     def compute_dtype(self):

@@ -152,36 +152,56 @@ class FPN4(nn.Module):
     # train-mode BN statistics per view group on the view-folded batch
     # (the reference runs the FPN once per view, MVS4Net.py:78-80)
     view_groups: int = 1
+    pack: bool = False       # width-packed stem execution (math-identical;
+                             # ops/packed_conv.py — the C=8..16 full/half-res
+                             # stem convs are ~5x off roofline unpacked).
+                             # BatchNorm stems only (gn unsupported).
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from ..ops.packed_conv import pack_w, pick_pack, unpack_w
+
         b = self.base
 
-        def cbr(ch, k, stride=1):
+        if self.pack and not self.gn:
+            W = x.shape[2]
+            ks = [pick_pack(W, b)]
+            for lvl in range(1, 4):
+                k = pick_pack(W >> lvl, b << lvl)
+                k = max(k, ks[-1] // 2)
+                ks.append(min(k, ks[-1] * 2))
+            k0, k1, k2, k3 = ks
+        else:
+            k0 = k1 = k2 = k3 = 1
+
+        def cbr(ch, k, stride=1, k_in=1, k_out=1):
             return ConvBnReLU(
                 ch, k, stride=stride, gn=self.gn, view_groups=self.view_groups,
-                dtype=self.dtype,
+                k_in=k_in, k_out=k_out, dtype=self.dtype,
             )
 
-        conv0 = cbr(b, 3)(x, train=train)
-        conv0 = cbr(b, 3)(conv0, train=train)
+        conv0 = cbr(b, 3, k_in=k0, k_out=k0)(pack_w(x, k0), train=train)
+        conv0 = cbr(b, 3, k_in=k0, k_out=k0)(conv0, train=train)
 
-        conv1 = cbr(2 * b, 5, stride=2)(conv0, train=train)
-        conv1 = cbr(2 * b, 3)(conv1, train=train)
-        conv1 = cbr(2 * b, 3)(conv1, train=train)
+        conv1 = cbr(2 * b, 5, stride=2, k_in=k0, k_out=k1)(conv0, train=train)
+        conv1 = cbr(2 * b, 3, k_in=k1, k_out=k1)(conv1, train=train)
+        conv1 = cbr(2 * b, 3, k_in=k1, k_out=k1)(conv1, train=train)
 
-        conv2 = cbr(4 * b, 5, stride=2)(conv1, train=train)
-        conv2 = cbr(4 * b, 3)(conv2, train=train)
-        conv2 = cbr(4 * b, 3)(conv2, train=train)
+        conv2 = cbr(4 * b, 5, stride=2, k_in=k1, k_out=k2)(conv1, train=train)
+        conv2 = cbr(4 * b, 3, k_in=k2, k_out=k2)(conv2, train=train)
+        conv2 = cbr(4 * b, 3, k_in=k2, k_out=k2)(conv2, train=train)
 
-        conv3 = cbr(8 * b, 5, stride=2)(conv2, train=train)
-        conv3 = cbr(8 * b, 3)(conv3, train=train)
-        conv3 = cbr(8 * b, 3)(conv3, train=train)
+        conv3 = cbr(8 * b, 5, stride=2, k_in=k2, k_out=k3)(conv2, train=train)
+        conv3 = cbr(8 * b, 3, k_in=k3, k_out=k3)(conv3, train=train)
+        conv3 = cbr(8 * b, 3, k_in=k3, k_out=k3)(conv3, train=train)
 
         return _TopDown(
             self.base, self.gn, self.dcn, self.view_groups, dtype=self.dtype
-        )(conv0, conv1, conv2, conv3, train=train)
+        )(
+            unpack_w(conv0, k0), unpack_w(conv1, k1),
+            unpack_w(conv2, k2), unpack_w(conv3, k3), train=train,
+        )
 
 
 class ConvNeXtBlock(nn.Module):

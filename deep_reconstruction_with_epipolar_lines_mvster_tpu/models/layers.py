@@ -57,8 +57,13 @@ class TorchBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, use_running_average: bool, groups: int = 1):
-        C = x.shape[-1]
+    def __call__(
+        self, x, *, use_running_average: bool, groups: int = 1, pack: int = 1
+    ):
+        """``pack`` > 1: x is width-packed ``[..., Wq, pack*C]``
+        (ops/packed_conv.py) — parameters and statistics stay per LOGICAL
+        channel C, the pack axis is treated as extra spatial extent."""
+        C = x.shape[-1] // pack
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
         ra_mean = self.variable(
@@ -68,14 +73,15 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((C,), jnp.float32)
         )
 
-        xf = x.astype(jnp.float32)
+        # pack split as an extra spatial axis ([..., Wq, pack, C])
+        xf = x.astype(jnp.float32).reshape(*x.shape[:-1], pack, C)
         if use_running_average:
             y = (xf - ra_mean.value) * jax.lax.rsqrt(ra_var.value + self.epsilon)
         else:
             G = groups
             N = x.shape[0]
             assert N % G == 0, f"batch {N} not divisible by view groups {G}"
-            spatial = x.shape[1:-1]
+            spatial = xf.shape[1:-1]
             xg = xf.reshape(N // G, G, *spatial, C)
             red = (0,) + tuple(range(2, 2 + len(spatial)))  # all but (group, C)
             mean = xg.mean(axis=red)                         # [G, C]
@@ -96,12 +102,101 @@ class TorchBatchNorm(nn.Module):
                     w[:, None] * var_unb
                 ).sum(0)
         y = y * scale + bias
-        return y.astype(self.dtype)
+        return y.reshape(x.shape).astype(self.dtype)
 
 
 def _gbc(stat, ndim):
     """Broadcast a [G, C] per-group stat over [B, G, *spatial, C]."""
     return stat[None, :, *(None,) * (ndim - 3), :]
+
+
+class _PackedConvND(nn.Module):
+    """Conv on width-packed activations (ops/packed_conv.py) with the
+    parameter tree of ``nn.Conv`` (param "kernel" in the LOGICAL shape
+    ``(*kernel_size, Ci, features)``, optional "bias") — instantiated with
+    ``name="Conv_0"`` it is checkpoint-interchangeable with the unpacked
+    block, only the execution layout differs."""
+
+    features: int
+    kernel_size: tuple       # logical spatial extents, width LAST
+    strides: tuple
+    pads: tuple              # symmetric torch-style pads per spatial dim
+    k_in: int
+    k_out: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        from ..ops.packed_conv import packed_conv_w
+
+        Ci = xp.shape[-1] // self.k_in
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, Ci, self.features),
+            jnp.float32,
+        )
+        y = packed_conv_w(
+            xp.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=tuple(self.strides),
+            pads=tuple(self.pads),
+            k_in=self.k_in,
+            k_out=self.k_out,
+            W=xp.shape[-2] * self.k_in,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + jnp.tile(bias, self.k_out).astype(self.dtype)
+        return y
+
+
+class _PackedDeconv2x(nn.Module):
+    """x2 spatial transposed conv (k=3, s=2, torch p=1/out_p=1) on
+    width-packed activations — parameter tree of ``nn.ConvTranspose``
+    (param "kernel" ``(3, 3, Ci, features)``). The logical
+    ``lhs_dilation`` is materialized by :func:`zero_stuff` (data at even
+    indices, length 2L), after which the op is an ordinary stride-1 packed
+    conv with symmetric pad 1 — verified equal to the flax layer in
+    tests/test_packed_conv.py."""
+
+    features: int
+    k_in: int
+    k_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        from ..ops.packed_conv import (
+            pack_w,
+            packed_conv_w,
+            unpack_w,
+            zero_stuff,
+        )
+
+        Ci = xp.shape[-1] // self.k_in
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, Ci, self.features),
+            jnp.float32,
+        )
+        x = unpack_w(xp, self.k_in)            # [N, H, W, C]
+        x = zero_stuff(x.astype(self.dtype), axes=(1, 2))  # [N, 2H, 2W, C]
+        W2 = x.shape[-2]
+        x = pack_w(x, self.k_out)
+        return packed_conv_w(
+            x,
+            kernel.astype(self.dtype),
+            strides=(1, 1),
+            pads=(1, 1),
+            k_in=self.k_out,
+            k_out=self.k_out,
+            W=W2,
+        )
 
 
 def _norm(gn: bool, channels: int, group_channel: int = 8, dtype=jnp.float32):
@@ -127,6 +222,8 @@ class ConvBnReLU(nn.Module):
     relu: bool = True
     gn: bool = False
     view_groups: int = 1
+    k_in: int = 1            # width-pack factors (ops/packed_conv.py);
+    k_out: int = 1           # 1/1 = ordinary unpacked execution
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -136,17 +233,29 @@ class ConvBnReLU(nn.Module):
         # reference pads k//2 on both sides (mvs4net_utils.py:439 pad=2) —
         # verified numerically, SAME diverges on every stride-2 conv.
         p = self.kernel // 2
-        x = nn.Conv(
-            self.out_channels,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            use_bias=self.gn,
-            dtype=self.dtype,
-        )(x)
+        if self.k_in > 1 or self.k_out > 1:
+            assert not self.gn, "packed execution supports BatchNorm only"
+            x = _PackedConvND(
+                self.out_channels, (self.kernel, self.kernel),
+                (self.stride, self.stride), (p, p),
+                k_in=self.k_in, k_out=self.k_out, use_bias=False,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.out_channels,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=((p, p), (p, p)),
+                use_bias=self.gn,
+                dtype=self.dtype,
+            )(x)
         norm = _norm(self.gn, self.out_channels, dtype=self.dtype)
         if isinstance(norm, TorchBatchNorm):
-            x = norm(x, use_running_average=not train, groups=self.view_groups)
+            x = norm(
+                x, use_running_average=not train, groups=self.view_groups,
+                pack=self.k_out,
+            )
         else:
             x = norm(x)
         if self.relu:
@@ -180,6 +289,8 @@ class ConvBnReLU3D(nn.Module):
     stride: tuple = (1, 1, 1)
     relu: bool = True
     depth: int = 1
+    k_in: int = 1            # width-pack factors (ops/packed_conv.py)
+    k_out: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -189,24 +300,40 @@ class ConvBnReLU3D(nn.Module):
         # torch-style symmetric k//2 padding (reference pad=(0,1,1) etc.);
         # XLA SAME differs on stride-2 convs — see ConvBnReLU.
         ph, pw = kh // 2, kw // 2
+        packed = self.k_in > 1 or self.k_out > 1
         if kd == 1 and sd == 1:
-            x = nn.Conv(
-                self.out_channels, (kh, kw), strides=(sh, sw),
-                padding=((ph, ph), (pw, pw)), use_bias=False, dtype=self.dtype,
-            )(x)
+            if packed:
+                x = _PackedConvND(
+                    self.out_channels, (kh, kw), (sh, sw), (ph, pw),
+                    k_in=self.k_in, k_out=self.k_out, dtype=self.dtype,
+                    name="Conv_0",
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.out_channels, (kh, kw), strides=(sh, sw),
+                    padding=((ph, ph), (pw, pw)), use_bias=False,
+                    dtype=self.dtype,
+                )(x)
         else:
             pd = kd // 2
             x = _unfold(x, self.depth)
-            x = nn.Conv(
-                self.out_channels, (kd, kh, kw), strides=(sd, sh, sw),
-                padding=((pd, pd), (ph, ph), (pw, pw)), use_bias=False,
-                dtype=self.dtype,
-            )(x)
+            if packed:
+                x = _PackedConvND(
+                    self.out_channels, (kd, kh, kw), (sd, sh, sw),
+                    (pd, ph, pw), k_in=self.k_in, k_out=self.k_out,
+                    dtype=self.dtype, name="Conv_0",
+                )(x)
+            else:
+                x = nn.Conv(
+                    self.out_channels, (kd, kh, kw), strides=(sd, sh, sw),
+                    padding=((pd, pd), (ph, ph), (pw, pw)), use_bias=False,
+                    dtype=self.dtype,
+                )(x)
             x = _fold(x)
         x = TorchBatchNorm(
             momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
             name="BatchNorm_0",
-        )(x, use_running_average=not train)
+        )(x, use_running_average=not train, pack=self.k_out)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -329,6 +456,8 @@ class DeconvBnReLU3D(nn.Module):
     mvs4net_utils.py:899-912)."""
 
     out_channels: int
+    k_in: int = 1            # width-pack factors (ops/packed_conv.py)
+    k_out: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -337,14 +466,20 @@ class DeconvBnReLU3D(nn.Module):
         # (reference reg2d up path, mvs4net_utils.py:900-912) up to a spatial
         # kernel flip — exact x2 upsample; verified numerically (flax SAME is
         # a different boundary function).
-        x = nn.ConvTranspose(
-            self.out_channels, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
-            use_bias=False, dtype=self.dtype,
-        )(x)
+        if self.k_in > 1 or self.k_out > 1:
+            x = _PackedDeconv2x(
+                self.out_channels, k_in=self.k_in, k_out=self.k_out,
+                dtype=self.dtype, name="ConvTranspose_0",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                self.out_channels, (3, 3), strides=(2, 2),
+                padding=((1, 2), (1, 2)), use_bias=False, dtype=self.dtype,
+            )(x)
         x = TorchBatchNorm(
             momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
             name="BatchNorm_0",
-        )(x, use_running_average=not train)
+        )(x, use_running_average=not train, pack=self.k_out)
         return nn.relu(x)
 
 

@@ -72,7 +72,7 @@ class MVS4Net(nn.Module):
         if cfg.arch_mode == "fpn":
             backbone = maybe_remat(FPN4)(
                 cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, view_groups=V,
-                dtype=dtype,
+                pack=cfg.pack_conv, dtype=dtype,
             )
         elif cfg.arch_mode == "fpn_convnext":
             backbone = maybe_remat(FPN4ConvNeXt)(
@@ -139,7 +139,7 @@ class MVS4Net(nn.Module):
             if cfg.reg_mode == "reg2d":
                 regnet = maybe_remat(Reg2D)(
                     base_channels=cfg.reg_channel, agg_type=cfg.agg_type,
-                    depth=cfg.ndepths[s], dtype=dtype,
+                    depth=cfg.ndepths[s], pack=cfg.pack_conv, dtype=dtype,
                     name=f"reg_stage{s + 1}",
                 )
             else:

@@ -35,35 +35,85 @@ class Reg2D(nn.Module):
     base_channels: int = 8
     agg_type: str = "ConvBnReLU3D"
     depth: int = 1           # static D for the 3x3x3 mid blocks
+    pack: bool = False       # width-packed conv execution (math-identical;
+                             # ops/packed_conv.py — ~5x faster on TPU at the
+                             # full-res stages; plain ConvBnReLU3D mid
+                             # blocks only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from ..ops.packed_conv import pack_w, pick_pack, unpack_w
+
         b = self.base_channels
         mid = AGG_BLOCKS[self.agg_type]
         k133 = dict(kernel=(1, 3, 3))
         s122 = dict(kernel=(1, 3, 3), stride=(1, 2, 2))
         d = self.depth
 
-        conv0 = ConvBnReLU3D(b, dtype=self.dtype, **k133)(x, train=train)
-        conv2 = mid(2 * b, depth=d, dtype=self.dtype)(
-            ConvBnReLU3D(2 * b, dtype=self.dtype, **s122)(conv0, train=train),
+        if self.pack and self.agg_type == "ConvBnReLU3D":
+            W = x.shape[-2]
+            # per-level pack factors targeting ~128 resident lanes; each
+            # stride-2 handoff needs 2*k_next % k_prev == 0 (powers of two:
+            # k_next >= k_prev/2)
+            ks = [pick_pack(W, b)]
+            for lvl in range(1, 4):
+                k = pick_pack(W >> lvl, b << lvl)
+                k = max(k, ks[-1] // 2)
+                ks.append(min(k, ks[-1] * 2))
+            k0, k1, k2, k3 = ks
+        else:
+            k0 = k1 = k2 = k3 = 1
+
+        def mk_mid(ch, k):
+            kw = dict(depth=d, dtype=self.dtype)
+            if k > 1:  # only plain ConvBnReLU3D has pack attrs (guard above)
+                kw.update(k_in=k, k_out=k)
+            return mid(ch, **kw)
+
+        xp = pack_w(x, k0)
+        conv0 = ConvBnReLU3D(
+            b, dtype=self.dtype, k_in=k0, k_out=k0, **k133
+        )(xp, train=train)
+        conv2 = mk_mid(2 * b, k1)(
+            ConvBnReLU3D(
+                2 * b, dtype=self.dtype, k_in=k0, k_out=k1, **s122
+            )(conv0, train=train),
             train=train,
         )
-        conv4 = mid(4 * b, depth=d, dtype=self.dtype)(
-            ConvBnReLU3D(4 * b, dtype=self.dtype, **s122)(conv2, train=train),
+        conv4 = mk_mid(4 * b, k2)(
+            ConvBnReLU3D(
+                4 * b, dtype=self.dtype, k_in=k1, k_out=k2, **s122
+            )(conv2, train=train),
             train=train,
         )
-        x = mid(8 * b, depth=d, dtype=self.dtype)(
-            ConvBnReLU3D(8 * b, dtype=self.dtype, **s122)(conv4, train=train),
+        x = mk_mid(8 * b, k3)(
+            ConvBnReLU3D(
+                8 * b, dtype=self.dtype, k_in=k2, k_out=k3, **s122
+            )(conv4, train=train),
             train=train,
         )
-        x = conv4 + DeconvBnReLU3D(4 * b, dtype=self.dtype)(x, train=train)
-        x = conv2 + DeconvBnReLU3D(2 * b, dtype=self.dtype)(x, train=train)
-        x = conv0 + DeconvBnReLU3D(b, dtype=self.dtype)(x, train=train)
+        x = conv4 + DeconvBnReLU3D(
+            4 * b, k_in=k3, k_out=k2, dtype=self.dtype
+        )(x, train=train)
+        x = conv2 + DeconvBnReLU3D(
+            2 * b, k_in=k2, k_out=k1, dtype=self.dtype
+        )(x, train=train)
+        x = conv0 + DeconvBnReLU3D(
+            b, k_in=k1, k_out=k0, dtype=self.dtype
+        )(x, train=train)
         # final 1x1 conv to a single score per hypothesis
         # (reference: self.prob = nn.Conv3d(8, 1, 1), mvs4net_utils.py:914)
-        score = nn.Conv(1, (1, 1), padding="VALID", dtype=self.dtype)(x)
+        if k0 > 1:
+            from .layers import _PackedConvND
+
+            score = _PackedConvND(
+                1, (1, 1), (1, 1), (0, 0), k_in=k0, k_out=k0, use_bias=True,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+            score = unpack_w(score, k0)
+        else:
+            score = nn.Conv(1, (1, 1), padding="VALID", dtype=self.dtype)(x)
         return score[..., 0]  # [B*D, H, W]
 
 

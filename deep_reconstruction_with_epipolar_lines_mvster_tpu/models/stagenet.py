@@ -56,8 +56,16 @@ def run_stage(
     score = regnet(cost).astype(jnp.float32).reshape(B, D, H, W)
 
     attn_weight = jax.nn.softmax(score, axis=1)
-    idx = jnp.argmax(attn_weight, axis=1)  # [B, h, w]
-    depth = jnp.take_along_axis(depth_hypo, idx[:, None], axis=1)[:, 0]
+    # winner-take-all readout, gather-free: argmax(softmax) == argmax, and
+    # the take_along_axis select is a one-hot masked sum — identical values,
+    # but XLA's TPU gather lowering is ~45x slower than the fused
+    # mask-and-reduce at the full-res stage (BENCH_NOTES.md round 2;
+    # reference semantics mvs4net_utils.py:1129-1130 unchanged)
+    idx = jnp.argmax(score, axis=1)  # [B, h, w]
+    onehot = (
+        jnp.arange(D, dtype=idx.dtype)[None, :, None, None] == idx[:, None]
+    )
+    depth = jnp.where(onehot, depth_hypo, 0.0).sum(axis=1)
 
     out: Dict[str, Any] = {
         "depth": depth,
@@ -68,7 +76,7 @@ def run_stage(
     if train:
         out["photometric_confidence"] = jnp.zeros((), dtype=jnp.float32)
     else:
-        score_max = jnp.take_along_axis(score, idx[:, None], axis=1)[:, 0]
+        score_max = jnp.where(onehot, score, 0.0).sum(axis=1)
         out["photometric_confidence"] = score_max / score.sum(axis=1)
 
     if inverse_depth:

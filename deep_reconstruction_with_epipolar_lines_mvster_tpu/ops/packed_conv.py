@@ -1,0 +1,179 @@
+"""Width-packed (space-to-depth) convolution execution.
+
+TPU rationale: XLA's lowering of small-channel NHWC convolutions (C = 4..32,
+the entire cost-regularization side of this model — reference reg2d
+``mvs4net_utils.py:884-926`` and the FPN stem ``:426-450``) runs ~5-8x off
+the bandwidth roofline on TPU: the MXU contraction sees only C of 128 lanes.
+Measured on v5e at the stage-4 eval shape (N=16, 512x640): a 3x3 conv 8->8
+takes ~2.8 ms while a 3x3 conv 128->128 on the width-packed layout — with
+144x the FLOPs — takes ~0.36 ms (BENCH_NOTES.md).
+
+The fix is a layout change that is *free* under XLA: packing ``k``
+neighboring width columns into the channel dimension,
+
+    x[N, H, W, C]  ->  xp[N, H, W/k, k*C],    xp[n,h,q,j*C+c] = x[n,h,q*k+j,c]
+
+is a pure ``reshape`` (row-major minor dims untouched), and any strided 2-D
+(or depth-extended 3-D) convolution on the logical tensor equals a dense
+block-banded convolution on the packed tensor:
+
+    y[wo] = sum_dx  x[s*wo + dx - p] * K[dx]
+    wo = bo*k_out + jo,   wi = bi*k_in + ji,
+    wi = s*(bo*k_out + jo) + dx - p  =  (bo*R + t)*k_in + ji,
+    R = s*k_out/k_in (integer by construction),
+    t(jo,dx) = floor((s*jo + dx - p)/k_in),  ji = (s*jo + dx - p) mod k_in.
+
+So the packed kernel ``Kp[.., t, ji*Ci+ci, jo*Co+co] = K[.., dx, ci, co]``
+(zeros elsewhere) applied with window ``T = t_max - t_min + 1`` blocks,
+block stride ``R`` and explicit zero block-padding reproduces the logical
+convolution bit-for-bit up to matmul summation order. FLOPs inflate by
+``k`` (the packed kernel is block-banded but stored dense) — a ~16x paper
+inflation that is far cheaper than the lane under-fill it removes.
+
+Transposed convolutions route through :func:`zero_stuff` (the logical
+``lhs_dilation`` materialized by a reshape-interleave, which cannot be
+expressed inside the packed layout) followed by a stride-1 packed conv.
+
+Used by ``models/layers.py`` blocks when ``pack > 1``; parameters keep
+their logical shapes, so checkpoints, the torch transplant and the parity
+suite are unaffected by the execution layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def pack_w(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[..., W, C] -> [..., W//k, k*C] (pure reshape)."""
+    if k == 1:
+        return x
+    *lead, W, C = x.shape
+    assert W % k == 0, f"width {W} not divisible by pack factor {k}"
+    return x.reshape(*lead, W // k, k * C)
+
+
+def unpack_w(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[..., W//k, k*C] -> [..., W, C] (pure reshape)."""
+    if k == 1:
+        return x
+    *lead, Wq, KC = x.shape
+    assert KC % k == 0
+    return x.reshape(*lead, Wq * k, KC // k)
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_geometry(kw: int, stride: int, pad: int, k_in: int, k_out: int):
+    """Block-conv geometry + the (dx, jo) -> (t, ji) one-hot map.
+
+    Returns (T, R, t_min, M) with M[dx, jo, t - t_min, ji] in {0, 1}.
+    """
+    assert (stride * k_out) % k_in == 0, (
+        f"stride*k_out ({stride}*{k_out}) must be a multiple of k_in ({k_in})"
+    )
+    R = (stride * k_out) // k_in
+    ts = [
+        (stride * jo + dx - pad) // k_in
+        for jo in range(k_out)
+        for dx in range(kw)
+    ]
+    t_min, t_max = min(ts), max(ts)
+    T = t_max - t_min + 1
+    M = np.zeros((kw, k_out, T, k_in), np.float32)
+    for jo in range(k_out):
+        for dx in range(kw):
+            w = stride * jo + dx - pad
+            M[dx, jo, w // k_in - t_min, w % k_in] = 1.0
+    return T, R, t_min, M
+
+
+def packed_kernel(
+    K: jnp.ndarray, stride: int, pad: int, k_in: int, k_out: int
+) -> jnp.ndarray:
+    """Transform a logical kernel ``[..., kw, Ci, Co]`` (leading dims = any
+    non-packed spatial extents, e.g. kh or (kd, kh)) into the packed
+    block-banded kernel ``[..., T, k_in*Ci, k_out*Co]``."""
+    kw, Ci, Co = K.shape[-3:]
+    T, _, _, M = _pack_geometry(kw, stride, pad, k_in, k_out)
+    Mj = jnp.asarray(M, K.dtype)
+    # out[..., t, q(=ji), i, j(=jo), o] = sum_d K[..., d, i, o] M[d, j, t, q]
+    Kp = jnp.einsum("...dio,djtq->...tqijo", K, Mj)
+    return Kp.reshape(*K.shape[:-3], T, k_in * Ci, k_out * Co)
+
+
+def packed_conv_w(
+    xp: jnp.ndarray,
+    K: jnp.ndarray,
+    *,
+    strides: tuple,
+    pads: tuple,
+    k_in: int,
+    k_out: int,
+    W: int,
+) -> jnp.ndarray:
+    """N-D conv on a width-packed activation.
+
+    ``xp``: [N, *spatial, Wq, k_in*Ci] (spatial = () for 1-D, (H,) for 2-D,
+    (D, H) for 3-D). ``K``: logical [*kspatial, kw, Ci, Co]. ``strides`` /
+    ``pads``: per spatial dim incl. width last (symmetric torch-style pads).
+    ``W``: the logical width (for output-geometry checks).
+    Returns [N, *out_spatial, WoutQ, k_out*Co].
+    """
+    kw = K.shape[-3]
+    sw, pw = strides[-1], pads[-1]
+    T, R, t_min, _ = _pack_geometry(kw, sw, pw, k_in, k_out)
+    Wout = (W + 2 * pw - kw) // sw + 1
+    assert Wout % k_out == 0, f"output width {Wout} not divisible by {k_out}"
+    Wq_in, Bo = xp.shape[-2], Wout // k_out
+    PL = -t_min
+    PR = max(0, (Bo - 1) * R + T - Wq_in - PL)
+    n_space = len(strides) - 1
+    assert (Wq_in + PL + PR - T) // R + 1 == Bo
+
+    Kp = packed_kernel(K, sw, pw, k_in, k_out)
+    dn = {
+        1: ("NWC", "WIO", "NWC"),
+        2: ("NHWC", "HWIO", "NHWC"),
+        3: ("NDHWC", "DHWIO", "NDHWC"),
+    }[n_space + 1]
+    pad_cfg = [(p, p) for p in pads[:-1]] + [(PL, PR)]
+    return lax.conv_general_dilated(
+        xp,
+        Kp,
+        window_strides=(*strides[:-1], R),
+        padding=pad_cfg,
+        dimension_numbers=dn,
+    )
+
+
+def zero_stuff(x: jnp.ndarray, axes: tuple) -> jnp.ndarray:
+    """Interleave zeros along ``axes`` (each length L -> 2L, data at even
+    indices) — the materialized ``lhs_dilation`` (+1 trailing zero) used to
+    express transposed convs as stride-1 convs."""
+    for ax in axes:
+        ax = ax % x.ndim
+        zeros = jnp.zeros_like(x)
+        y = jnp.stack([x, zeros], axis=ax + 1)
+        x = y.reshape(
+            *x.shape[:ax], 2 * x.shape[ax], *x.shape[ax + 1:]
+        )
+    return x
+
+
+def pick_pack(W: int, C: int, target: int = 128, cap: int = 16) -> int:
+    """Largest power-of-two pack factor k <= cap with k*C <= 2*target,
+    k | W, preferring the smallest k with k*C >= target. Returns 1 when no
+    factor divides W (caller falls back to the unpacked path)."""
+    best = 1
+    k = 1
+    while k <= cap:
+        if W % k == 0:
+            best = k
+            if k * C >= target:
+                break
+        k *= 2
+    return best

@@ -290,11 +290,16 @@ def _assert_stage_close(ref_out, flax_out, num_stages, train):
         poisoned = pois | flipped
 
 
-@pytest.mark.parametrize("shape", [(64, 128), (128, 64)])
-def test_full_model_parity_dtu_config(shape):
+@pytest.mark.parametrize(
+    "shape,pack",
+    [((64, 128), False), ((128, 64), False), ((64, 128), True)],
+)
+def test_full_model_parity_dtu_config(shape, pack):
     H, W = shape
     B, V = 2, 3
-    cfg = _make_cfg()
+    # pack=True: the width-packed conv execution (ops/packed_conv.py) must
+    # hold the same weight-transplant parity as the plain lowering
+    cfg = _make_cfg(pack_conv=pack)
     ref_net, _ = _build_ref(cfg, seed=0)
     batch = _batch(B, V, H, W)
     lcfg = LossConfig(
