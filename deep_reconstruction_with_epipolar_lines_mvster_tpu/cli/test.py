@@ -90,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "nets and ~21%% faster on TPU — BENCH_NOTES.md; "
                         "default f32 matches the reference)")
     p.add_argument("--warp_impl", type=str, default="mxu_hybrid",
-                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "gather"])
+                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"])
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "~5x faster on TPU (ops/packed_conv.py). Default: "
                         "auto (on for TPU, off for CPU where the k-fold "
                         "FLOP inflation loses)")
+    p.add_argument("--fused_topdown", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas kernel for the FPN's full-res top-down "
+                        "level (default auto: on for TPU, off for CPU)")
     p.add_argument("--debug_model", type=int, default=0)
     p.add_argument("--debug_depth_gen", type=int, default=0)
     p.add_argument("--debug_depth_filter", type=int, default=0)

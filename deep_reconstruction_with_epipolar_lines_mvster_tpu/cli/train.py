@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for the conv path")
     p.add_argument("--warp_impl", type=str, default="mxu_hybrid",
-                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "gather"],
+                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"],
                    help="homography-warp implementation (ops/warp_mxu.py)")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
@@ -94,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "~5x faster on TPU (ops/packed_conv.py). Default: "
                         "auto (on for TPU, off for CPU where the k-fold "
                         "FLOP inflation loses)")
+    p.add_argument("--fused_topdown", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="fused Pallas kernel for the FPN's full-res top-down "
+                        "level (eval-mode forwards only; default auto: on "
+                        "for TPU, off for CPU)")
     p.add_argument("--debug_model", type=int, default=0,
                    help="bitmask numeric debug dumps (see utils.debug)")
     p.add_argument("--dp_impl", type=str, default="gspmd",
@@ -115,12 +120,15 @@ def make_model_config(args):
     from ..config import ModelConfig, parse_float_list, parse_int_list
 
     pack = getattr(args, "pack_conv", None)
-    if pack is None:
-        # auto: packed execution wins on TPU (lane fill), loses on CPU
-        # (k-fold FLOP inflation on a backend with fine small-C convs)
+    fused_td = getattr(args, "fused_topdown", None)
+    if pack is None or fused_td is None:
+        # auto: packed/fused execution wins on TPU (lane fill, HBM-traffic
+        # fusion), loses on CPU (k-fold FLOP inflation; interpret mode)
         import jax
 
-        pack = jax.default_backend() not in ("cpu",)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        pack = on_tpu if pack is None else pack
+        fused_td = on_tpu if fused_td is None else fused_td
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),
@@ -147,6 +155,7 @@ def make_model_config(args):
         warp_xband=args.warp_xband,
         warp_tile_cols=args.warp_tile_cols,
         pack_conv=pack,
+        fused_topdown=fused_td,
     )
 
 

@@ -68,7 +68,9 @@ class ModelConfig:
                                         # x-banded Pallas bwd — fastest
                                         # measured, BENCH_NOTES.md round 2)
                                         # | 'mxu' (scan fwd+bwd)
-                                        # | 'mxu_pallas' (Pallas fwd)
+                                        # | 'mxu_v3' (flipped-layout Pallas
+                                        # fwd + x-banded Pallas bwd)
+                                        # | 'mxu_pallas' (v1 Pallas fwd)
                                         # | 'gather' (XLA gather, exact
                                         # fallback for any geometry)
     warp_band: int = 16                 # source-row band for the mxu warp
@@ -83,6 +85,9 @@ class ModelConfig:
                                         # FPN-stem/reg2d convs — math-
                                         # identical, ~5-8x faster on TPU
                                         # (ops/packed_conv.py; BENCH_NOTES)
+    fused_topdown: bool = False         # fused Pallas kernel for the FPN's
+                                        # full-res top-down level (eval
+                                        # only; ops/pallas/topdown_fused.py)
 
     @property
     def compute_dtype(self):

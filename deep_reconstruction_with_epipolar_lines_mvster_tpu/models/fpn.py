@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -99,26 +100,79 @@ class NADCN(nn.Module):
         return DeformConv2d(self.channels, dtype=self.dtype)(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with ``nn.Conv``'s tree (kernel [+ bias]) for convs
+    executed by a fused kernel instead of ``nn.Conv.__call__`` — instantiated
+    with the name the conv would auto-receive, so checkpoints and the torch
+    transplant see an identical tree."""
+
+    kernel_shape: tuple
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape,
+            jnp.float32,
+        )
+        b = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.kernel_shape[-1],),
+                jnp.float32,
+            )
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class _TopDown(nn.Module):
-    """Shared FPN top-down pathway + output heads + optional DCN heads."""
+    """Shared FPN top-down pathway + output heads + optional DCN heads.
+
+    ``fuse_final``: run the full-resolution level
+    ``out4(up2(intra) + inner3(conv0))`` through the fused Pallas kernel
+    (ops/pallas/topdown_fused.py) — the unfused chain materializes three
+    full-res 64-channel tensors in HBM and dominates eval FPN time. Values
+    identical up to f32 accumulation order; eval-only (no VJP), the train
+    path stays unfused.
+    """
 
     base: int
     gn: bool
     dcn: bool
     view_groups: int = 1
+    fuse_final: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, conv0, conv1, conv2, conv3, *, train: bool):
         b = self.base
         final = 8 * b
-        inner1 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)
-        inner2 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)
-        inner3 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype)
-        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, dtype=self.dtype)
-        out2 = nn.Conv(4 * b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
-        out3 = nn.Conv(2 * b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
-        out4 = nn.Conv(b, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
+        fused = (
+            self.fuse_final and not train
+            and conv0.shape[1] % 8 == 0
+            and final == 64
+        )
+        inner1 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="Conv_0")
+        inner2 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="Conv_1")
+        if fused:
+            inner3 = _ConvParams((1, 1, conv0.shape[-1], final), name="Conv_2")
+        else:
+            inner3 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
+                             name="Conv_2")
+        out1 = nn.Conv(8 * b, (1, 1), use_bias=False, dtype=self.dtype,
+                       name="Conv_3")
+        out2 = nn.Conv(4 * b, (3, 3), padding="SAME", use_bias=False,
+                       dtype=self.dtype, name="Conv_4")
+        out3 = nn.Conv(2 * b, (3, 3), padding="SAME", use_bias=False,
+                       dtype=self.dtype, name="Conv_5")
+        if fused:
+            out4 = _ConvParams((3, 3, final, b), use_bias=False, name="Conv_6")
+        else:
+            out4 = nn.Conv(b, (3, 3), padding="SAME", use_bias=False,
+                           dtype=self.dtype, name="Conv_6")
 
         def up2(x):
             H, W = x.shape[1:3]
@@ -130,8 +184,20 @@ class _TopDown(nn.Module):
         o2 = out2(intra)
         intra = up2(intra) + inner2(conv1)
         o3 = out3(intra)
-        intra = up2(intra) + inner3(conv0)
-        o4 = out4(intra)
+        if fused:
+            from ..ops.pallas.topdown_fused import topdown_fused_level
+
+            ki, bi = inner3()
+            ko, _ = out4()
+            o4 = topdown_fused_level(
+                intra.astype(self.dtype),
+                conv0.astype(self.dtype),
+                ki.astype(self.dtype), bi, ko.astype(self.dtype),
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            )
+        else:
+            intra = up2(intra) + inner3(conv0)
+            o4 = out4(intra)
 
         if self.dcn:
             vg = self.view_groups
@@ -156,6 +222,8 @@ class FPN4(nn.Module):
                              # ops/packed_conv.py — the C=8..16 full/half-res
                              # stem convs are ~5x off roofline unpacked).
                              # BatchNorm stems only (gn unsupported).
+    fuse_topdown: bool = False  # fused Pallas final top-down level
+                             # (ops/pallas/topdown_fused.py, eval only)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -197,7 +265,8 @@ class FPN4(nn.Module):
         conv3 = cbr(8 * b, 3, k_in=k3, k_out=k3)(conv3, train=train)
 
         return _TopDown(
-            self.base, self.gn, self.dcn, self.view_groups, dtype=self.dtype
+            self.base, self.gn, self.dcn, self.view_groups,
+            fuse_final=self.fuse_topdown, dtype=self.dtype,
         )(
             unpack_w(conv0, k0), unpack_w(conv1, k1),
             unpack_w(conv2, k2), unpack_w(conv3, k3), train=train,

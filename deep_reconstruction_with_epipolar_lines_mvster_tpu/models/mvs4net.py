@@ -72,7 +72,8 @@ class MVS4Net(nn.Module):
         if cfg.arch_mode == "fpn":
             backbone = maybe_remat(FPN4)(
                 cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, view_groups=V,
-                pack=cfg.pack_conv, dtype=dtype,
+                pack=cfg.pack_conv, fuse_topdown=cfg.fused_topdown,
+                dtype=dtype,
             )
         elif cfg.arch_mode == "fpn_convnext":
             backbone = maybe_remat(FPN4ConvNeXt)(

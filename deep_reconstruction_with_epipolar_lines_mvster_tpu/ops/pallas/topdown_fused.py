@@ -1,0 +1,259 @@
+"""Fused FPN top-down level kernel (Pallas TPU).
+
+Computes one top-down level of the FPN (reference ``mvs4net_utils.py:489-509``)
+
+    o = Conv3x3_{64->Co}( up2_align_corners(intra) + Conv1x1_{Cs->64}(skip) )
+
+in ONE pass. The unfused XLA chain materializes three full-resolution
+64-channel intermediates in HBM (the upsample, the 1x1 projection and their
+sum — ~670 MB each at the stage-4 level of the bench config), making the
+top-down pathway bandwidth-bound at ~13 ms. The kernel streams 8-output-row
+tiles: DMA a narrow window of `intra` and of the (pre-shifted) skip rows,
+build everything in VMEM, write only `o` (~84 MB).
+
+Layout/technique notes (same playbook as ops/pallas/warp_fwd_v3):
+- everything lives CHANNELS-IN-SUBLANES (``[C, W]`` per row); the caller
+  pre-transposes inputs once in XLA and transposes `o` back.
+- the align-corners x2 W-resize is a static banded matrix; the 3x3 conv's
+  dx in {-1,0,1} taps are folded into THREE variants of that matrix and
+  three pre-shifted copies of the skip tensor — the kernel contains no
+  cross-lane shifts at all.
+- the H-resize taps/fractions are integer/float tables indexed by output
+  row (scalar-prefetch), exactly matching core.geometry.resize_align_corners.
+- the 1x1 skip projection runs as one matmul per ROW-PAIR with a 2-block
+  diagonal LHS so every VMEM sublane slice stays 16-aligned for bf16
+  (Cs=8 rows alone would land on 8-sublane offsets).
+- conv edge rows (r-1 < 0, r+1 >= H) are zero-masked; the skip arrays are
+  pre-padded with one zero row top+bottom so windows never clamp.
+
+Forward-only: training keeps the unfused XLA path (this is an eval-path
+fusion; both compute the same values up to f32-accumulation order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HWIN = 8  # intra source-row window (covers the <=7-row span of 10 out rows)
+
+
+def _h_tables(H: int, Hh: int):
+    """align-corners H-resize: per-output-row source index + fraction."""
+    g = np.arange(H, dtype=np.float64)
+    p = g * (Hh - 1) / (H - 1)
+    idx = np.minimum(np.floor(p).astype(np.int32), Hh - 2)
+    frac = (p - idx).astype(np.float32)
+    return idx, frac
+
+
+def _w_matrices(W: int, Wh: int, dtype):
+    """Three W-resize matrices [Wh, W]: MwT_dx[v, w] = Mw[w+dx-1, v]
+    (align-corners x2 taps, zero outside [0, W))."""
+    p = np.arange(W, dtype=np.float64) * (Wh - 1) / (W - 1)
+    i0 = np.minimum(np.floor(p).astype(np.int64), Wh - 2)
+    fr = p - i0
+    Mw = np.zeros((W, Wh), np.float32)
+    Mw[np.arange(W), i0] = 1.0 - fr
+    Mw[np.arange(W), i0 + 1] = fr
+    out = np.zeros((3, Wh, W), np.float32)
+    for dx in range(3):
+        sh = np.zeros((W, Wh), np.float32)  # rows: w -> Mw[w+dx-1]
+        src = np.arange(W) + dx - 1
+        ok = (src >= 0) & (src < W)
+        sh[ok] = Mw[src[ok]]
+        out[dx] = sh.T
+    return out.astype(dtype)
+
+
+def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
+            mw_ref, out_ref, w_intra, w_c0, u_scr, sem1, sem2,
+            *, TR: int, H: int, Hh: int, Wh: int, Ci: int, Cs: int, Co: int):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    r0 = t * TR
+    NROW = TR + 2
+    W = out_ref.shape[3]
+
+    # intra window start (rows), aligned by construction (x Ci sublanes)
+    h0 = jnp.minimum(hidx_ref[jnp.maximum(r0 - 1, 0)], Hh - HWIN)
+    cp1 = pltpu.make_async_copy(
+        intra_ref.at[n, pl.ds(h0 * Ci, HWIN * Ci)], w_intra, sem1
+    )
+    cp1.start()
+    # skip window: rows r0-1 .. r0+TR in padded coords = r0 .. r0+NROW-1,
+    # all 3 dx variants stacked in the second axis of c0_ref
+    cp2 = pltpu.make_async_copy(
+        c0_ref.at[n, :, pl.ds(r0 * Cs, NROW * Cs)], w_c0, sem2
+    )
+    cp2.start()
+
+    wi_t = wi_ref[:]          # [64, Cs]
+    bi = bi_ref[:]            # [Ci, 1]
+    zcs = jnp.zeros_like(wi_t)
+    bd2 = jnp.concatenate(
+        [
+            jnp.concatenate([wi_t, zcs], axis=1),
+            jnp.concatenate([zcs, wi_t], axis=1),
+        ],
+        axis=0,
+    )                         # [2*Ci, 2*Cs] two-row block diagonal
+
+    cp1.wait()
+    cp2.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    for dx in range(3):
+        mw = mw_ref[dx]       # [Wh, W]
+        # the shifted u reads column w+dx-1; out-of-range columns are the
+        # 3x3 conv's ZERO pad — in particular they must not carry the 1x1
+        # bias, so mask the border column of this dx variant
+        if dx == 0:
+            colmask = (lane >= 1).astype(jnp.float32)
+        elif dx == 2:
+            colmask = (lane < W - 1).astype(jnp.float32)
+        else:
+            colmask = None
+        # 1x1 skip projection for all rows, one matmul per row PAIR
+        for pair in range(NROW // 2):
+            seg = w_c0[dx, pl.ds(2 * pair * Cs, 2 * Cs), :]  # [2Cs, W]
+            i3 = jax.lax.dot_general(
+                bd2.astype(seg.dtype), seg,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                # [2Ci, W]
+            for half in range(2):
+                row = 2 * pair + half
+                g = r0 - 1 + row
+                gc = jnp.clip(g, 0, H - 1)
+                hi = jnp.minimum(hidx_ref[gc] - h0, HWIN - 2)
+                a = hfrac_ref[gc]
+                r_lo = w_intra[pl.ds(hi * Ci, Ci), :].astype(jnp.float32)
+                r_hi = w_intra[pl.ds((hi + 1) * Ci, Ci), :].astype(jnp.float32)
+                blend = (1.0 - a) * r_lo + a * r_hi          # [Ci, Wh]
+                up = jax.lax.dot_general(
+                    blend.astype(mw.dtype), mw,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                            # [Ci, W]
+                u = up + i3[half * Ci : (half + 1) * Ci, :] + bi
+                if colmask is not None:
+                    u = u * colmask
+                mask = jnp.logical_and(g >= 0, g < H).astype(jnp.float32)
+                u_scr[pl.ds((dx * NROW + row) * Ci, Ci), :] = (
+                    (u * mask).astype(u_scr.dtype)
+                )
+
+    for j in range(TR):
+        acc = jnp.zeros((Co, W), jnp.float32)
+        for dy in range(3):
+            row = j + dy
+            for dx in range(3):
+                wo = wo_ref[3 * dy + dx]                     # [Co, Ci]
+                useg = u_scr[pl.ds((dx * NROW + row) * Ci, Ci), :]
+                acc = acc + jax.lax.dot_general(
+                    wo.astype(useg.dtype), useg,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        out_ref[0, j] = acc.astype(out_ref.dtype)
+
+
+def topdown_fused_level(
+    intra: jnp.ndarray,    # [N, Hh, Wh, Ci=64] half-res pathway
+    skip: jnp.ndarray,     # [N, H, W, Cs] lateral (conv0/1/2)
+    wi: jnp.ndarray,       # [1, 1, Cs, Ci] inner 1x1 kernel
+    bi: jnp.ndarray,       # [Ci] inner bias
+    wo: jnp.ndarray,       # [3, 3, Ci, Co] out 3x3 kernel
+    *,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:          # [N, H, W, Co]
+    N, Hh, Wh, Ci = intra.shape
+    _, H, W, Cs = skip.shape
+    Co = wo.shape[-1]
+    # sublane-slice alignment: row-pair 1x1 segments (2*Cs) and intra row
+    # slices (Ci) must be 16-sublane multiples for 16-bit dtypes
+    assert (2 * Cs) % 16 == 0 and Ci % 16 == 0, (Cs, Ci)
+    assert H % tile_rows == 0 and (H, W) == (2 * Hh, 2 * Wh)
+    dt = intra.dtype
+
+    hidx, hfrac = _h_tables(H, Hh)
+    mw = jnp.asarray(_w_matrices(W, Wh, np.float32)).astype(dt)  # [3, Wh, W]
+
+    # channels -> sublanes; merge (row, channel)
+    intra_t = jnp.swapaxes(intra, 2, 3).reshape(N, Hh * Ci, Wh)
+    # skip: 3 dx shifts, one zero row top+bottom, channels to sublanes:
+    # [N, 3, (H+2)*Cs, W]
+    sk_t = jnp.swapaxes(skip, 2, 3)  # [N, H, Cs, W]
+    sk_pad = jnp.pad(sk_t, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    shifts = []
+    for dx in range(3):
+        off = dx - 1
+        if off < 0:
+            s = jnp.pad(sk_pad[..., :off], ((0, 0),) * 3 + ((-off, 0),))
+        elif off > 0:
+            s = jnp.pad(sk_pad[..., off:], ((0, 0),) * 3 + ((0, off),))
+        else:
+            s = sk_pad
+        shifts.append(s.reshape(N, (H + 2) * Cs, W))
+    c0 = jnp.stack(shifts, axis=1)  # [N, 3, (H+2)*Cs, W]
+
+    wi_t = jnp.transpose(wi[0, 0], (1, 0))          # [Ci, Cs]
+    wo_t = jnp.transpose(wo, (0, 1, 3, 2)).reshape(9, Co, Ci)
+    bi_c = bi.reshape(Ci, 1).astype(jnp.float32)
+
+    T = H // tile_rows
+    NROW = tile_rows + 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # intra_t
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # c0
+            pl.BlockSpec(
+                (Ci, Cs), lambda n, t, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                                  # wi_t
+            pl.BlockSpec(
+                (Ci, 1), lambda n, t, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                                  # bi
+            pl.BlockSpec(
+                (9, Co, Ci), lambda n, t, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                                  # wo_t
+            pl.BlockSpec(
+                (3, Wh, W), lambda n, t, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),                                                  # mw
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, Co, W), lambda n, t, *_: (n, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((HWIN * Ci, Wh), dt),
+            pltpu.VMEM((3, NROW * Cs, W), dt),
+            pltpu.VMEM((3 * NROW * Ci, W), dt),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, TR=tile_rows, H=H, Hh=Hh, Wh=Wh, Ci=Ci, Cs=Cs, Co=Co
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, T * tile_rows, Co, W), dt),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(hidx), jnp.asarray(hfrac),
+        intra_t, c0, wi_t.astype(dt), bi_c, wo_t.astype(dt), mw,
+    )
+    return jnp.swapaxes(out, 2, 3)  # [N, H, W, Co]

@@ -1,0 +1,208 @@
+"""Pallas TPU forward warp kernel, v3 ("flipped" layout).
+
+Same banded-interpolation math as ``ops/warp_mxu`` (reference hot op
+``mvs4net_utils.py:21-67``), redesigned around the two failure modes
+measured in the v1 kernel (BENCH_NOTES.md "Pallas tile-kernel experiment"):
+
+1. **No cross-lane relayouts.** v1 moved the per-row x coordinates from
+   lanes to sublanes to build ``wx[P, Ws]`` — a full-vector transpose per
+   row. v3 computes the TRANSPOSED weight matrix ``wxT[Ws, W]`` instead:
+   the coordinate row stays a lane vector, broadcast against a sublane
+   iota. Zero shuffles.
+2. **Full-M matmul, no N=C fold.** v1's final ``(wy*z) @ fold`` matmul had
+   N = C = 8 output lanes (1/16 MXU). v3 contracts the OTHER way:
+
+       rt  = src_hc[b, y0*C : (y0+band)*C, :]      [band*C, Ws]  (DMA)
+       zt  = rt @ wxT                              [band*C, W]   (MXU)
+       out = sum_k (wyT * zt)[k*C:(k+1)*C, :]      [C, W]        (VPU)
+
+   With the default band=16 and C=8 the M dim is exactly 128 sublanes.
+   The k-sum is ``band`` static sublane slices — no matmul, no gather.
+
+The source is pre-transposed once per view to ``[B, Hs*C, Ws]`` (the
+(row, channel) axes merged into SUBLANES), so the band slice is a
+sublane-dim DMA whose start ``y0*C`` only needs 16-sublane (bf16)
+alignment — ``align_y = 2`` rows for C=8, 1 otherwise — instead of v1's
+128-lane alignment that doubled the band. Output blocks are
+``[TR, C, W]`` (row index leading, so the per-row store is a cheap
+leading-dim dynamic index); the caller transposes back to ``[..., W, C]``
+in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(starts_ref, x_ref, y_ref, src_hc_ref, out_ref, rt_vmem, sem,
+            *, band: int, tile_rows: int, channels: int, align_y: int):
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    y0 = pl.multiple_of(starts_ref[b, n], align_y)
+    start = pl.multiple_of(y0 * C, align_y * C)
+
+    cp = pltpu.make_async_copy(
+        src_hc_ref.at[b, pl.ds(start, band * C)], rt_vmem, sem
+    )
+    cp.start()
+
+    Ws = src_hc_ref.shape[2]
+    W = x_ref.shape[3]
+    y0f = y0.astype(jnp.float32)
+
+    # sublane iotas shared across rows
+    js = jax.lax.broadcasted_iota(jnp.float32, (Ws, W), 0)          # j index
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (band * C, W), 0) // C
+    ).astype(jnp.float32)                                           # k index
+
+    cp.wait()
+    rt = rt_vmem[:]  # [band*C, Ws]
+
+    def row(r, _):
+        x = x_ref[0, 0, r]                                          # [W] lanes
+        y = y_ref[0, 0, r]
+        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - js))      # [Ws, W]
+        zt = jax.lax.dot_general(
+            rt, wxT.astype(rt.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                           # [band*C, W]
+        wyT = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - (y0f + kidx)))
+        prod = wyT * zt
+        acc = prod[0:C, :]
+        for k in range(1, band):
+            acc = acc + prod[k * C : (k + 1) * C, :]
+        out_ref[0, 0, r] = acc.astype(out_ref.dtype)                # [C, W]
+        return 0
+
+    jax.lax.fori_loop(0, tile_rows, row, 0, unroll=True)
+
+
+def _kernel_xchunk(starts_ref, xstarts_ref, x_ref, y_ref, src_hc_ref, out_ref,
+                   rt_vmem, sem, *, band: int, tile_rows: int, channels: int,
+                   align_y: int, xwin: int, chunk: int):
+    """Column-chunked variant: the j-contraction runs over a 128-lane-aligned
+    ``xwin``-column window per ``chunk``-column output block instead of the
+    full source width — the per-chunk window start comes from the prefetched
+    ``xstarts`` plan and is provably 128-aligned, so the rt lane slice is
+    legal. Cuts matmul FLOPs ~(Ws / xwin)x on wide stages."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    y0 = pl.multiple_of(starts_ref[b, n], align_y)
+    start = pl.multiple_of(y0 * C, align_y * C)
+
+    cp = pltpu.make_async_copy(
+        src_hc_ref.at[b, pl.ds(start, band * C)], rt_vmem, sem
+    )
+    cp.start()
+
+    W = x_ref.shape[3]
+    G = W // chunk
+    y0f = y0.astype(jnp.float32)
+
+    js = jax.lax.broadcasted_iota(jnp.float32, (xwin, chunk), 0)
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (band * C, chunk), 0) // C
+    ).astype(jnp.float32)
+
+    cp.wait()
+
+    def row(r, _):
+        for g in range(G):
+            x0 = pl.multiple_of(xstarts_ref[b, n, g], 128)
+            x = x_ref[0, 0, r, g * chunk : (g + 1) * chunk]         # [chunk]
+            y = y_ref[0, 0, r, g * chunk : (g + 1) * chunk]
+            wxT = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(x[None, :] - (x0.astype(jnp.float32) + js)),
+            )                                                       # [xwin, chunk]
+            rt = rt_vmem[:, pl.ds(x0, xwin)]                        # [bC, xwin]
+            zt = jax.lax.dot_general(
+                rt, wxT.astype(rt.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                       # [bC, chunk]
+            wyT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[None, :] - (y0f + kidx))
+            )
+            prod = wyT * zt
+            acc = prod[0:C, :]
+            for k in range(1, band):
+                acc = acc + prod[k * C : (k + 1) * C, :]
+            out_ref[0, 0, r, :, g * chunk : (g + 1) * chunk] = acc.astype(
+                out_ref.dtype
+            )
+        return 0
+
+    jax.lax.fori_loop(0, tile_rows, row, 0, unroll=True)
+
+
+def warp_tiles_pallas_v3(
+    src: jnp.ndarray,       # [B, Hs, Ws, C]
+    xcoords: jnp.ndarray,   # [B, N, TR, W] f32
+    ycoords: jnp.ndarray,   # [B, N, TR, W] f32
+    starts: jnp.ndarray,    # [B, N] int32, aligned to align_y rows
+    *,
+    band: int,
+    align_y: int = 1,
+    xstarts: jnp.ndarray | None = None,  # [B, N, G] int32, 128-aligned
+    xwin: int = 0,
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:           # [B, N, TR, C, W]
+    B, Hs, Ws, C = src.shape
+    _, N, TR, W = xcoords.shape
+    # merge (row, channel) into sublanes: [B, Hs*C, Ws]
+    src_hc = jnp.swapaxes(src, 2, 3)  # [B, Hs, C, Ws]
+    src_hc = src_hc.reshape(B, Hs * C, Ws)
+
+    chunked = xstarts is not None
+    nsp = 2 if chunked else 1
+
+    def idx4(b, n, *_):
+        return (b, n, 0, 0)
+
+    def idx5(b, n, *_):
+        return (b, n, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsp,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, TR, W), idx4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TR, W), idx4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TR, C, W), idx5, memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band * C, Ws), src.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    if chunked:
+        kern = functools.partial(
+            _kernel_xchunk, band=band, tile_rows=TR, channels=C,
+            align_y=align_y, xwin=xwin, chunk=chunk,
+        )
+        scalars = (starts, xstarts)
+    else:
+        kern = functools.partial(
+            _kernel, band=band, tile_rows=TR, channels=C, align_y=align_y
+        )
+        scalars = (starts,)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, N, TR, C, W), src.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*scalars, xcoords, ycoords, src_hc)

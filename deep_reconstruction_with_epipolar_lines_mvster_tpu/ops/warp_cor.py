@@ -74,7 +74,7 @@ def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows,
           xband=0, tile_cols=128):
     B, D, H, W = depth_hypo.shape
     if (
-        impl in ("mxu", "mxu_pallas", "mxu_hybrid")
+        impl in ("mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3")
         and H % tile_rows == 0
         and src_fea.shape[1] >= band
     ):
@@ -85,6 +85,7 @@ def _warp(src_fea, rel_proj, depth_hypo, impl, band, tile_rows,
             xband=xband, tile_cols=tile_cols,
             use_pallas=impl == "mxu_pallas",
             hybrid=impl == "mxu_hybrid",
+            v3=impl == "mxu_v3",
         )
     coords = warp_coords(rel_proj, depth_hypo)
     return grid_sample_2d(src_fea, coords)  # [B, D, H, W, C]

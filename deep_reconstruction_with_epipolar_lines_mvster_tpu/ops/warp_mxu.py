@@ -383,6 +383,68 @@ _warp_batched_pallas_xband.defvjp(
 )
 
 
+def _v3_align_y(C: int, dtype) -> int:
+    """Sublane-DMA alignment of the v3 kernel's band start (rows): y0*C must
+    be a multiple of the sublane tile (16 for bf16/f16, 8 for f32)."""
+    import math
+
+    st = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    return st // math.gcd(C, st)
+
+
+def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
+    """Forward through the v3 flipped-layout Pallas kernel
+    (ops/pallas/warp_fwd_v3). Band starts are aligned DOWN by up to
+    align_y-1 rows (band kept at its configured width, which is sized with
+    ~5 rows of slack over real MVS tile spans — band_coverage remains the
+    validation hook). Wide sources additionally use the column-chunked
+    kernel: 128-lane-aligned source windows of ``xwin = roundup(xband+130,
+    128)`` columns per 128-column output chunk cut the j-contraction FLOPs
+    ~(Ws/xwin)x."""
+    from .pallas.warp_fwd_v3 import warp_tiles_pallas_v3
+
+    B, Hs, Ws, C = src.shape
+    _, D, H, W, _ = coords.shape
+    align_y = _v3_align_y(C, src.dtype)
+    tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
+    starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    starts = (starts // align_y) * align_y
+    starts = jnp.clip(starts, 0, max((Hs - band) // align_y * align_y, 0))
+    N = tiles.shape[1]
+    xg = tiles[..., 0].reshape(B, N, tile_rows, W)
+    yg = tiles[..., 1].reshape(B, N, tile_rows, W)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    chunk = 128
+    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
+    kw = {}
+    if xwin and Ws >= xwin and W % chunk == 0:
+        G = W // chunk
+        xmin = xg.reshape(B, N, tile_rows, G, chunk).min(axis=(2, 4))
+        x0 = ((jnp.floor(xmin).astype(jnp.int32) - 1) // chunk) * chunk
+        x0 = jnp.clip(x0, 0, max((Ws - xwin) // chunk * chunk, 0))
+        kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
+    out = warp_tiles_pallas_v3(
+        src, xg, yg, starts.astype(jnp.int32),
+        band=band, align_y=align_y, interpret=interpret, **kw,
+    )  # [B, N, TR, C, W]
+    T = H // tile_rows
+    out = out.reshape(B, D, T, tile_rows, C, W).transpose(0, 1, 2, 3, 5, 4)
+    return out.reshape(B, D, H, W, C), (src, coords)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _warp_v3(src, coords, band, tile_rows, xband, tile_cols):
+    """v3 Pallas forward (flipped layout, ops/pallas/warp_fwd_v3) +
+    x-banded Pallas backward — full-Pallas warp."""
+    return _warp_batched_pallas_v3_fwd(
+        src, coords, band, tile_rows, xband, tile_cols
+    )[0]
+
+
+_warp_v3.defvjp(_warp_batched_pallas_v3_fwd, _warp_batched_pallas_xband_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _warp_hybrid(src, coords, band, tile_rows, xband, tile_cols):
     """Measured-fastest combination on v5e (BENCH_NOTES.md round 2): XLA
@@ -462,6 +524,7 @@ def homo_warp_mxu(
     tile_cols: int = 128,
     use_pallas: bool = False,
     hybrid: bool = False,
+    v3: bool = False,
 ) -> jnp.ndarray:
     """Gather-free bilinear homography warp: ``[B,Hs,Ws,C] -> [B,D,H,W,C]``.
 
@@ -483,6 +546,20 @@ def homo_warp_mxu(
     align = max(1, 128 // C)
     band_al = -(-band // align) * align + align
 
+    if v3 and xband:
+        # v3 fwd eligibility: sublane-merged (k,c) slices need band*C a
+        # sublane multiple; wide-enough rows to fill lanes; band in range
+        ay = _v3_align_y(C, src_fea.dtype)
+        if (band * C) % 8 == 0 and W_ >= 256 and band <= Hs:
+            # bwd = the x-banded Pallas kernel (same eligibility as hybrid)
+            tc = next((t for t in (tile_cols, 128, 64, 32, 16) if W_ % t == 0), 0)
+            xb = max(xband - tile_cols + tc, tc + 16) if tc else 0
+            xb_al = -(-(xb + 8) // 8) * 8 if xb else 0
+            if tc and xb_al <= Ws_ and band_al <= Hs and Hs % align == 0:
+                return _warp_v3(src_fea, coords, band, tile_rows, xb, tc)
+        # ineligible: fall through to the hybrid/scan paths
+        v3 = False
+        hybrid = True
     if hybrid and xband and band_al <= Hs and Hs % align == 0:
         # per-stage effective chunking: keep the configured x margin
         # (xband - tile_cols) when the stage width forces smaller chunks

@@ -10,6 +10,7 @@ from .mesh import (
     replicate,
     shard_batch,
     shard_eval_forward,
+    shard_eval_forward_shard_map,
     shard_train_step,
     shard_train_step_shard_map,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_eval_forward",
+    "shard_eval_forward_shard_map",
     "shard_train_step",
     "shard_train_step_shard_map",
     "sync_hosts",

@@ -125,6 +125,33 @@ def shard_eval_forward(forward, mesh: Mesh):
     )
 
 
+def shard_eval_forward_shard_map(forward, mesh: Mesh):
+    """shard_map eval forward: batch sharded over ``data``, params
+    replicated, the model body executed per shard on LOCAL shapes — so the
+    eval-path Pallas kernels (v3 warp forward, fused top-down level) shard
+    across chips instead of being gathered/replicated by the GSPMD
+    partitioner (which cannot partition ``pallas_call``).
+
+    Same signature as :func:`shard_eval_forward` but data-parallel only
+    (no ``space`` sharding — spatial shards would split the kernels' tile
+    geometry mid-image; use the GSPMD variant for height sharding of
+    kernel-free configs).
+    """
+    fn = jax.shard_map(
+        forward,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P("data"),
+            {f"stage{i}": P("data") for i in range(1, 5)},
+            P("data"),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def shard_train_step(train_step, mesh: Mesh, *, with_images: bool = False):
     """Jit the train step with replicated state and data-sharded batches.
 

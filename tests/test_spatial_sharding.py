@@ -14,6 +14,7 @@ from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel import (
     reduce_scalars_across_hosts,
     replicate,
     shard_eval_forward,
+    shard_eval_forward_shard_map,
     sync_hosts,
 )
 
@@ -47,6 +48,52 @@ def test_space_sharded_eval_matches_unsharded():
     c_sh, c_ref = np.asarray(conf_sh), np.asarray(conf_ref)
     agree_c = np.isclose(c_sh, c_ref, rtol=1e-3, atol=1e-3).mean()
     assert agree_c > 0.995
+
+
+def test_shard_map_eval_forward_matches_unsharded():
+    """Data-parallel shard_map eval (per-shard local execution — the path
+    that keeps the eval Pallas kernels sharded at scale) matches the
+    single-device forward on a replicated batch."""
+    cfg = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True
+    )
+    imgs, projs, dv = make_inputs(V=2, H=64, W=64)
+    B = 4
+    imgs = jnp.broadcast_to(imgs, (B, *imgs.shape[1:]))
+    projs = {k: jnp.broadcast_to(v, (B, *v.shape[1:])) for k, v in projs.items()}
+    dv = jnp.broadcast_to(dv, (B, *dv.shape[1:]))
+    model = MVS4Net(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        imgs[:1], {k: v[:1] for k, v in projs.items()}, dv[:1], train=False,
+    )
+
+    def forward(variables, imgs, projs, dv):
+        out = model.apply(variables, imgs, projs, dv, train=False)
+        return out["stage4"]["depth"], out["stage4"]["photometric_confidence"]
+
+    depth_ref, conf_ref = jax.jit(forward)(variables, imgs, projs, dv)
+
+    mesh = make_mesh(jax.devices()[:4], space=1)  # 4-way data
+    with mesh:
+        fn = shard_eval_forward_shard_map(forward, mesh)
+        from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel import (
+            shard_batch,
+        )
+
+        b = shard_batch(
+            {"imgs": imgs, "proj_matrices": projs, "depth_values": dv}, mesh
+        )
+        depth_sh, conf_sh = fn(
+            replicate(variables, mesh), b["imgs"], b["proj_matrices"],
+            b["depth_values"],
+        )
+    np.testing.assert_allclose(
+        np.asarray(depth_sh), np.asarray(depth_ref), rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(conf_sh), np.asarray(conf_ref), rtol=1e-3, atol=1e-3
+    )
 
 
 def test_multihost_helpers_single_process():

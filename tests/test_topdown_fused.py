@@ -1,0 +1,94 @@
+"""Fused FPN top-down level kernel (ops/pallas/topdown_fused.py) vs the
+unfused XLA chain (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.core.geometry import (
+    resize_align_corners,
+)
+from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.pallas.topdown_fused import (
+    topdown_fused_level,
+)
+
+
+@pytest.mark.parametrize(
+    "N,Hh,Wh,Cs,Co,seed",
+    [(2, 16, 32, 8, 8, 0), (1, 32, 40, 16, 16, 1), (1, 8, 64, 32, 8, 2)],
+)
+def test_fused_level_matches_xla_chain(N, Hh, Wh, Cs, Co, seed):
+    rng = np.random.default_rng(seed)
+    Ci = 64
+    H, W = 2 * Hh, 2 * Wh
+    intra = jnp.asarray(rng.standard_normal((N, Hh, Wh, Ci)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((N, H, W, Cs)), jnp.float32)
+    wi = jnp.asarray(rng.standard_normal((1, 1, Cs, Ci)) * 0.1, jnp.float32)
+    bi = jnp.asarray(rng.standard_normal((Ci,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.05, jnp.float32)
+
+    up = resize_align_corners(intra, (H, W))
+    i3 = jax.lax.conv_general_dilated(
+        skip, wi, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bi
+    ref = jax.lax.conv_general_dilated(
+        up + i3, wo, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = topdown_fused_level(intra, skip, wi, bi, wo, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_full_model_fused_topdown_matches():
+    """MVS4Net with fused_topdown=True: identical variables tree, identical
+    eval depths; train mode transparently uses the unfused path."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import (
+        MVS4Net,
+    )
+
+    cfg = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        ndepths=(8, 8, 4, 4), warp_impl="gather", remat=False,
+    )
+    batch = ge._example_batch(B=1, V=2, H=64, W=64)
+    mu = MVS4Net(cfg)
+    mf = MVS4Net(dataclasses.replace(cfg, fused_topdown=True))
+    vs = mu.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=False,
+    )
+    # identical variable trees (the _ConvParams holders mirror nn.Conv)
+    vs_f = mf.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=False,
+    )
+    assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs_f)
+
+    ref = mu.apply(
+        vs, batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+        train=False,
+    )
+    got = mf.apply(
+        vs, batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+        train=False,
+    )
+    for s in range(1, 5):
+        np.testing.assert_allclose(
+            np.asarray(got[f"stage{s}"]["depth"]),
+            np.asarray(ref[f"stage{s}"]["depth"]),
+            atol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[f"stage{s}"]["photometric_confidence"]),
+            np.asarray(ref[f"stage{s}"]["photometric_confidence"]),
+            atol=5e-3,
+        )

@@ -287,3 +287,46 @@ def test_hybrid_warp_matches_gather_path():
     )(src)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g2_ref), atol=1e-3,
                                rtol=1e-4)
+
+
+def test_v3_warp_matches_gather_path():
+    """mxu_v3 = flipped-layout Pallas forward (ops/pallas/warp_fwd_v3,
+    interpret mode on CPU) + x-banded Pallas backward: values and gradients
+    vs the gather reference at a width above the kernel's W>=256
+    eligibility floor."""
+    src, rel, depth = _setup(B=1, D=2, H=16, W=256)
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=64,
+        v3=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    g_ref = jax.grad(
+        lambda s: (grid_sample_2d(s, warp_coords(rel, depth)) ** 2).sum()
+    )(src)
+    g_v3 = jax.grad(
+        lambda s: (homo_warp_mxu(
+            s, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=64,
+            v3=True,
+        ) ** 2).sum()
+    )(src)
+    np.testing.assert_allclose(np.asarray(g_v3), np.asarray(g_ref), atol=1e-3,
+                               rtol=1e-4)
+
+    # column-chunked kernel variant (xwin = roundup(xband+130, 128) = 256
+    # fits the 256-wide source, so the 128-aligned-window path engages)
+    got_c = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=100, tile_cols=64,
+        v3=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref), atol=2e-5)
+
+    # ineligible width (W=64 < 256) falls back to the hybrid/scan path
+    src2, rel2, depth2 = _setup(B=1, D=2, H=16, W=64)
+    ref2 = grid_sample_2d(src2, warp_coords(rel2, depth2))
+    got2 = homo_warp_mxu(
+        src2, rel2, depth2, band=16, tile_rows=8, xband=96, tile_cols=32,
+        v3=True,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-5)
