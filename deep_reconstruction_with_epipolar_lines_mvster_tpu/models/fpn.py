@@ -150,8 +150,12 @@ class _TopDown(nn.Module):
         final = 8 * b
         fused = (
             self.fuse_final and not train
-            and conv0.shape[1] % 8 == 0
             and final == 64
+            # kernel geometry: 8 | H row tiles, H = 2*Hh with Hh >= HWIN=8,
+            # W = 2*Wh exactly (even)
+            and conv0.shape[1] % 8 == 0
+            and conv0.shape[1] >= 16
+            and conv0.shape[2] % 2 == 0
         )
         inner1 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
                          name="Conv_0")
@@ -232,7 +236,11 @@ class FPN4(nn.Module):
 
         b = self.base
 
-        if self.pack and not self.gn:
+        # the level-width halving below assumes 8 | W (the stem's three
+        # stride-2 convs; also what the top-down residual adds require of
+        # any input this network can process) — fall back to unpacked
+        # execution otherwise rather than mis-sizing the factors
+        if self.pack and not self.gn and x.shape[2] % 8 == 0:
             W = x.shape[2]
             ks = [pick_pack(W, b)]
             for lvl in range(1, 4):

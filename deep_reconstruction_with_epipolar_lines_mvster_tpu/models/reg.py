@@ -51,7 +51,9 @@ class Reg2D(nn.Module):
         s122 = dict(kernel=(1, 3, 3), stride=(1, 2, 2))
         d = self.depth
 
-        if self.pack and self.agg_type == "ConvBnReLU3D":
+        # 8 | W required by the three stride-2 levels (as for the unpacked
+        # U-Net's residual adds); fall back to unpacked execution otherwise
+        if self.pack and self.agg_type == "ConvBnReLU3D" and x.shape[-2] % 8 == 0:
             W = x.shape[-2]
             # per-level pack factors targeting ~128 resident lanes; each
             # stride-2 handoff needs 2*k_next % k_prev == 0 (powers of two:

@@ -83,13 +83,15 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
     # intra window start (rows), aligned by construction (x Ci sublanes)
     h0 = jnp.minimum(hidx_ref[jnp.maximum(r0 - 1, 0)], Hh - HWIN)
     cp1 = pltpu.make_async_copy(
-        intra_ref.at[n, pl.ds(h0 * Ci, HWIN * Ci)], w_intra, sem1
+        intra_ref.at[n, pl.ds(pl.multiple_of(h0 * Ci, Ci), HWIN * Ci)],
+        w_intra, sem1,
     )
     cp1.start()
     # skip window: rows r0-1 .. r0+TR in padded coords = r0 .. r0+NROW-1,
     # all 3 dx variants stacked in the second axis of c0_ref
     cp2 = pltpu.make_async_copy(
-        c0_ref.at[n, :, pl.ds(r0 * Cs, NROW * Cs)], w_c0, sem2
+        c0_ref.at[n, :, pl.ds(pl.multiple_of(r0 * Cs, TR * Cs), NROW * Cs)],
+        w_c0, sem2,
     )
     cp2.start()
 

@@ -406,10 +406,14 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
     B, Hs, Ws, C = src.shape
     _, D, H, W, _ = coords.shape
     align_y = _v3_align_y(C, src.dtype)
+    # widen the band by the alignment so flooring the start never drops
+    # coverage at the far edge (same precedent as the xband plan's band_al);
+    # (band + align_y)*C stays a 16-sublane multiple by construction
+    band_k = band + (align_y if align_y > 1 else 0)
     tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
     starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
     starts = (starts // align_y) * align_y
-    starts = jnp.clip(starts, 0, max((Hs - band) // align_y * align_y, 0))
+    starts = jnp.clip(starts, 0, max((Hs - band_k) // align_y * align_y, 0))
     N = tiles.shape[1]
     xg = tiles[..., 0].reshape(B, N, tile_rows, W)
     yg = tiles[..., 1].reshape(B, N, tile_rows, W)
@@ -426,7 +430,7 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
         kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
     out = warp_tiles_pallas_v3(
         src, xg, yg, starts.astype(jnp.int32),
-        band=band, align_y=align_y, interpret=interpret, **kw,
+        band=band_k, align_y=align_y, interpret=interpret, **kw,
     )  # [B, N, TR, C, W]
     T = H // tile_rows
     out = out.reshape(B, D, T, tile_rows, C, W).transpose(0, 1, 2, 3, 5, 4)
@@ -546,29 +550,30 @@ def homo_warp_mxu(
     align = max(1, 128 // C)
     band_al = -(-band // align) * align + align
 
+    # per-stage effective chunking for the Pallas BACKWARD plan: keep the
+    # configured x margin (xband - tile_cols) when the stage width forces
+    # smaller chunks (shared by the v3 and hybrid branches)
+    tc = next((t for t in (tile_cols, 128, 64, 32, 16) if W_ % t == 0), 0)
+    xb = max(xband - tile_cols + tc, tc + 16) if tc and xband else 0
+    xb_al = -(-(xb + 8) // 8) * 8 if xb else 0
+    bwd_ok = tc and xb_al <= Ws_ and band_al <= Hs and Hs % align == 0
+
     if v3 and xband:
-        # v3 fwd eligibility: sublane-merged (k,c) slices need band*C a
-        # sublane multiple; wide-enough rows to fill lanes; band in range
+        # v3 fwd eligibility: the aligned band (band + align_y rows) must
+        # fit the source, its sublane-merged (k,c) extent must tile, and
+        # rows must be wide enough to fill lanes; bwd = x-banded Pallas
         ay = _v3_align_y(C, src_fea.dtype)
-        if (band * C) % 8 == 0 and W_ >= 256 and band <= Hs:
-            # bwd = the x-banded Pallas kernel (same eligibility as hybrid)
-            tc = next((t for t in (tile_cols, 128, 64, 32, 16) if W_ % t == 0), 0)
-            xb = max(xband - tile_cols + tc, tc + 16) if tc else 0
-            xb_al = -(-(xb + 8) // 8) * 8 if xb else 0
-            if tc and xb_al <= Ws_ and band_al <= Hs and Hs % align == 0:
-                return _warp_v3(src_fea, coords, band, tile_rows, xb, tc)
+        band_k = band + (ay if ay > 1 else 0)
+        if (
+            (band_k * C) % 16 == 0 and W_ >= 256 and band_k <= Hs and bwd_ok
+        ):
+            return _warp_v3(src_fea, coords, band, tile_rows, xb, tc)
         # ineligible: fall through to the hybrid/scan paths
         v3 = False
         hybrid = True
-    if hybrid and xband and band_al <= Hs and Hs % align == 0:
-        # per-stage effective chunking: keep the configured x margin
-        # (xband - tile_cols) when the stage width forces smaller chunks
-        tc = next((t for t in (tile_cols, 128, 64, 32, 16) if W_ % t == 0), 0)
-        xb = max(xband - tile_cols + tc, tc + 16) if tc else 0
-        xb_al = -(-(xb + 8) // 8) * 8 if xb else 0
-        if tc and xb_al <= Ws_:
-            return _warp_hybrid(src_fea, coords, band, tile_rows, xb, tc)
-        # stage too narrow for the kernel: scan fwd+bwd fallback below
+    if hybrid and xband and bwd_ok:
+        return _warp_hybrid(src_fea, coords, band, tile_rows, xb, tc)
+        # (stages too narrow for the kernel use the scan fwd+bwd below)
     if use_pallas:
         xband_al = -(-(xband + 8) // 8) * 8 if xband else 0
         if (

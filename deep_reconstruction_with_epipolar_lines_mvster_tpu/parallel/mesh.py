@@ -83,10 +83,13 @@ def pad_batch_to_multiple(batch: Dict[str, Any], mult: int) -> Dict[str, Any]:
 
     Used for the validation loop under a device mesh: the reference keeps
     ``drop_last=False`` on the val loader (train_mvs4.py:595,598), so the
-    trailing batch can be smaller than the data-axis size. Padding with
-    repeated samples keeps the reference's metric semantics (its
-    DictAverageMeter weights every batch's mean equally regardless of batch
-    size, utils.py:103-122) while satisfying GSPMD's divisibility rule.
+    trailing batch can be smaller than the data-axis size; padding satisfies
+    GSPMD's divisibility rule. NOTE the padded batch's MEAN over-weights the
+    wrapped samples relative to an unpadded run (the trailing batch's
+    scalars are approximate) — an accepted deviation, bounded to the single
+    trailing val batch, in the same spirit as the reference's own
+    DictAverageMeter weighting every batch's mean equally regardless of
+    batch size (utils.py:103-122).
     """
     leaves = jax.tree_util.tree_leaves(batch)
     n = leaves[0].shape[0]
@@ -192,9 +195,12 @@ def shard_train_step_shard_map(train_step, mesh: Mesh, *, with_images: bool = Fa
     state is replicated by construction (``check_rep=False`` because the
     checker cannot prove that through the optimizer update).
 
-    BatchNorm semantics: train-mode BN statistics are computed over the
-    LOCAL batch shard — exactly the reference's per-GPU DDP BatchNorm
-    (torch BN does not sync across processes unless SyncBN is requested).
+    BatchNorm semantics: train-mode NORMALIZATION uses the LOCAL batch
+    shard's statistics — exactly the reference's per-GPU DDP BatchNorm —
+    while the RUNNING stats are pmean-synced across shards inside the step
+    (train/step.py), keeping the updated state truly replicated (torch DDP
+    likewise keeps buffers synced via its default rank-0 broadcast; the
+    pmean folds every shard's batch into the EMA instead of only rank 0's).
     The GSPMD variant instead normalizes over the GLOBAL batch (SyncBN-like)
     because the batch dimension is merely sharded, not split. Both are
     valid DP trainings; they differ numerically on distinct samples.

@@ -118,6 +118,13 @@ def make_train_step(
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
+            # sync the BN running stats across shards: each shard updates
+            # them from its LOCAL batch, and without this the "replicated"
+            # updated state would silently hold per-device values (torch DDP
+            # keeps buffers synced too — broadcast_buffers=True rank-0
+            # broadcast every forward; the pmean here instead folds every
+            # shard's batch into the EMA, documented in parallel/mesh.py)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

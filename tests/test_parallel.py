@@ -134,3 +134,91 @@ def test_shard_map_step_matches_gspmd():
         p_ref, p_smap,
     )
     assert abs(s_ref["loss"] - s_smap["loss"]) < 1e-3
+
+
+def test_pad_batch_to_multiple():
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel.mesh import (
+        pad_batch_to_multiple,
+    )
+
+    batch = {
+        "imgs": np.arange(4 * 3).reshape(4, 3).astype(np.float32),
+        "proj_matrices": {"stage1": np.arange(4).astype(np.int32)},
+    }
+    out = pad_batch_to_multiple(batch, 8)
+    assert out["imgs"].shape == (8, 3)
+    # wrap-around padding: sample i pads as i % n
+    np.testing.assert_array_equal(out["imgs"][4:], batch["imgs"])
+    np.testing.assert_array_equal(
+        out["proj_matrices"]["stage1"], np.array([0, 1, 2, 3, 0, 1, 2, 3])
+    )
+    # already divisible: unchanged object
+    same = pad_batch_to_multiple(batch, 4)
+    assert same is batch
+
+
+def test_shard_map_bn_stats_replicated_on_distinct_samples():
+    """With DISTINCT per-shard samples, the shard_map step's updated
+    BatchNorm running stats must be truly identical across device buffers
+    (they are pmean-synced inside the step; without that sync the P()
+    out_spec would silently hold divergent per-device values)."""
+    import jax.numpy as jnp
+    import optax
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        LossConfig,
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.data.synthetic import (
+        batch_samples,
+        make_plane_scene,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import MVS4Net
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel import (
+        replicate,
+        shard_batch,
+        shard_train_step_shard_map,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train import (
+        TrainState,
+        make_train_step,
+    )
+
+    cfg = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        warp_impl="gather", remat=False,
+    )
+    lcfg = LossConfig(inverse_depth=True, ot_iter=2)
+    model = MVS4Net(cfg)
+    scenes = [make_plane_scene(V=2, H=64, W=64, seed=i) for i in range(8)]
+    for s in scenes:
+        for k in ("view_depths", "intrinsics", "extrinsics"):
+            s.pop(k)
+    batch = batch_samples(scenes)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"][:1]),
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x[:1]), batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"][:1]),
+        train=True,
+    )
+    tx = optax.sgd(1e-3)
+    mesh = make_mesh(jax.devices()[:8], space=1)
+    step = shard_train_step_shard_map(
+        make_train_step(model, lcfg, tx, axis_name="data"), mesh
+    )
+    state = replicate(TrainState.create(variables, tx), mesh)
+    with mesh:
+        new_state, _ = step(state, shard_batch(batch, mesh))
+
+    leaves = jax.tree_util.tree_leaves(new_state.batch_stats)
+    checked = 0
+    for leaf in leaves:
+        shards = getattr(leaf, "addressable_shards", None)
+        if not shards or len(shards) < 2:
+            continue
+        ref = np.asarray(shards[0].data)
+        for sh in shards[1:]:
+            np.testing.assert_array_equal(np.asarray(sh.data), ref)
+        checked += 1
+    assert checked > 0
