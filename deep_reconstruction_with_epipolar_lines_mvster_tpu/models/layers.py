@@ -199,6 +199,48 @@ class _PackedDeconv2x(nn.Module):
         )
 
 
+class _PackedDeconv2x3D(nn.Module):
+    """x2 (D, H, W) transposed conv (k=3, s=2, torch p=1/out_p=1) on
+    width-packed 5-D volumes — parameter tree of ``nn.ConvTranspose``
+    (param "kernel" ``(3, 3, 3, Ci, features)``). Same zero-stuff +
+    stride-1 packed conv construction as :class:`_PackedDeconv2x`."""
+
+    features: int
+    k_in: int
+    k_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        from ..ops.packed_conv import (
+            pack_w,
+            packed_conv_w,
+            unpack_w,
+            zero_stuff,
+        )
+
+        Ci = xp.shape[-1] // self.k_in
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, Ci, self.features),
+            jnp.float32,
+        )
+        x = unpack_w(xp, self.k_in)
+        x = zero_stuff(x.astype(self.dtype), axes=(1, 2, 3))
+        W2 = x.shape[-2]
+        x = pack_w(x, self.k_out)
+        return packed_conv_w(
+            x,
+            kernel.astype(self.dtype),
+            strides=(1, 1, 1),
+            pads=(1, 1, 1),
+            k_in=self.k_out,
+            k_out=self.k_out,
+            W=W2,
+        )
+
+
 def _norm(gn: bool, channels: int, group_channel: int = 8, dtype=jnp.float32):
     if gn:
         return nn.GroupNorm(
@@ -488,16 +530,25 @@ class DeconvBnReLU3D_true(nn.Module):
     (operates on unfolded 5-D volumes)."""
 
     out_channels: int
+    k_in: int = 1            # width-pack factors (ops/packed_conv.py)
+    k_out: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        x = nn.ConvTranspose(
-            self.out_channels, (3, 3, 3), strides=(2, 2, 2),
-            padding=((1, 2), (1, 2), (1, 2)), use_bias=False, dtype=self.dtype,
-        )(x)
+        if self.k_in > 1 or self.k_out > 1:
+            x = _PackedDeconv2x3D(
+                self.out_channels, k_in=self.k_in, k_out=self.k_out,
+                dtype=self.dtype, name="ConvTranspose_0",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                self.out_channels, (3, 3, 3), strides=(2, 2, 2),
+                padding=((1, 2), (1, 2), (1, 2)), use_bias=False,
+                dtype=self.dtype,
+            )(x)
         x = TorchBatchNorm(
             momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
             name="BatchNorm_0",
-        )(x, use_running_average=not train)
+        )(x, use_running_average=not train, pack=self.k_out)
         return nn.relu(x)

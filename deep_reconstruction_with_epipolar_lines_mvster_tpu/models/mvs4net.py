@@ -146,7 +146,8 @@ class MVS4Net(nn.Module):
             else:
                 regnet = maybe_remat(Reg3D)(
                     base_channels=cfg.reg_channel, down_size=REG3D_DOWN_SIZE[s],
-                    depth=cfg.ndepths[s], dtype=dtype, name=f"reg_stage{s + 1}",
+                    depth=cfg.ndepths[s], pack=cfg.pack_conv, dtype=dtype,
+                    name=f"reg_stage{s + 1}",
                 )
 
             if cfg.pos_enc == 1:

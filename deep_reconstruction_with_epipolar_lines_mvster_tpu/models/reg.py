@@ -123,31 +123,78 @@ class Reg3D(nn.Module):
     base_channels: int = 8
     down_size: int = 3
     depth: int = 1
+    pack: bool = False       # width-packed conv execution (ops/packed_conv.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from ..ops.packed_conv import pack_w, pick_pack, unpack_w
+
         b = self.base_channels
         dt = self.dtype
 
-        x5 = _unfold(x, self.depth)
-        conv0 = _C3(b, 1, dt)(x5, train)
-        conv2 = _C3(2 * b, 1, dt)(_C3(2 * b, 2, dt)(conv0, train), train)
-        if self.down_size == 3:
-            conv4 = _C3(4 * b, 1, dt)(_C3(4 * b, 2, dt)(conv2, train), train)
-            y = _C3(8 * b, 1, dt)(_C3(8 * b, 2, dt)(conv4, train), train)
-            y = conv4 + DeconvBnReLU3D_true(4 * b, dtype=dt)(y, train=train)
-            y = conv2 + DeconvBnReLU3D_true(2 * b, dtype=dt)(y, train=train)
-            y = conv0 + DeconvBnReLU3D_true(b, dtype=dt)(y, train=train)
-        elif self.down_size == 2:
-            y = _C3(4 * b, 1, dt)(_C3(4 * b, 2, dt)(conv2, train), train)
-            y = conv2 + DeconvBnReLU3D_true(2 * b, dtype=dt)(y, train=train)
-            y = conv0 + DeconvBnReLU3D_true(b, dtype=dt)(y, train=train)
+        nlv = self.down_size + 1
+        W = x.shape[-2]
+        if self.pack and W % (1 << self.down_size) == 0 and self.depth % (
+            1 << self.down_size
+        ) == 0:
+            ks = [pick_pack(W, b)]
+            for lvl in range(1, nlv):
+                k = pick_pack(W >> lvl, b << lvl)
+                k = max(k, ks[-1] // 2)
+                ks.append(min(k, ks[-1] * 2))
         else:
-            y = conv0 + DeconvBnReLU3D_true(b, dtype=dt)(conv2, train=train)
-        score = nn.Conv(
-            1, (3, 3, 3), padding="SAME", use_bias=False, dtype=dt
-        )(y)
+            ks = [1] * nlv
+        ks += [1] * (4 - len(ks))
+        k0, k1, k2, k3 = ks[:4]
+
+        x5 = _unfold(pack_w(x, k0), self.depth)
+        conv0 = _C3(b, 1, dt, k_in=k0, k_out=k0)(x5, train)
+        conv2 = _C3(2 * b, 1, dt, k_in=k1, k_out=k1)(
+            _C3(2 * b, 2, dt, k_in=k0, k_out=k1)(conv0, train), train
+        )
+        if self.down_size == 3:
+            conv4 = _C3(4 * b, 1, dt, k_in=k2, k_out=k2)(
+                _C3(4 * b, 2, dt, k_in=k1, k_out=k2)(conv2, train), train
+            )
+            y = _C3(8 * b, 1, dt, k_in=k3, k_out=k3)(
+                _C3(8 * b, 2, dt, k_in=k2, k_out=k3)(conv4, train), train
+            )
+            y = conv4 + DeconvBnReLU3D_true(
+                4 * b, k_in=k3, k_out=k2, dtype=dt
+            )(y, train=train)
+            y = conv2 + DeconvBnReLU3D_true(
+                2 * b, k_in=k2, k_out=k1, dtype=dt
+            )(y, train=train)
+            y = conv0 + DeconvBnReLU3D_true(
+                b, k_in=k1, k_out=k0, dtype=dt
+            )(y, train=train)
+        elif self.down_size == 2:
+            y = _C3(4 * b, 1, dt, k_in=k2, k_out=k2)(
+                _C3(4 * b, 2, dt, k_in=k1, k_out=k2)(conv2, train), train
+            )
+            y = conv2 + DeconvBnReLU3D_true(
+                2 * b, k_in=k2, k_out=k1, dtype=dt
+            )(y, train=train)
+            y = conv0 + DeconvBnReLU3D_true(
+                b, k_in=k1, k_out=k0, dtype=dt
+            )(y, train=train)
+        else:
+            y = conv0 + DeconvBnReLU3D_true(
+                b, k_in=k1, k_out=k0, dtype=dt
+            )(conv2, train=train)
+        if k0 > 1:
+            from .layers import _PackedConvND
+
+            score = _PackedConvND(
+                1, (3, 3, 3), (1, 1, 1), (1, 1, 1), k_in=k0, k_out=k0,
+                dtype=dt, name="Conv_0",
+            )(y)
+            score = unpack_w(score, k0)
+        else:
+            score = nn.Conv(
+                1, (3, 3, 3), padding="SAME", use_bias=False, dtype=dt
+            )(y)
         return _fold(score)[..., 0]  # [B*D, H, W]
 
 
@@ -157,18 +204,27 @@ class _C3(nn.Module):
     out_channels: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    k_in: int = 1            # width-pack factors (ops/packed_conv.py)
+    k_out: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from .layers import BN_EPS, BN_MOMENTUM, TorchBatchNorm
+        from .layers import BN_EPS, BN_MOMENTUM, TorchBatchNorm, _PackedConvND
 
         # torch-style symmetric pad=1 (SAME mismatches at stride 2)
-        x = nn.Conv(
-            self.out_channels, (3, 3, 3), strides=(self.stride,) * 3,
-            padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
-        )(x)
+        if self.k_in > 1 or self.k_out > 1:
+            x = _PackedConvND(
+                self.out_channels, (3, 3, 3), (self.stride,) * 3, (1, 1, 1),
+                k_in=self.k_in, k_out=self.k_out, dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.out_channels, (3, 3, 3), strides=(self.stride,) * 3,
+                padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
+            )(x)
         x = TorchBatchNorm(
             momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype,
             name="BatchNorm_0",
-        )(x, use_running_average=not train)
+        )(x, use_running_average=not train, pack=self.k_out)
         return nn.relu(x)

@@ -236,3 +236,61 @@ def test_full_model_packed_matches_unpacked():
             np.asarray(ref[f"stage{s}"]["photometric_confidence"]),
             atol=2e-3,
         )
+
+
+def test_packed_deconv3d_matches_flax_convtranspose():
+    from flax import linen as nn
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models.layers import (
+        _PackedDeconv2x3D,
+    )
+
+    rng = np.random.default_rng(5)
+    N, D, H, W, Ci, Co = 1, 2, 4, 16, 6, 3
+    x = jnp.asarray(rng.standard_normal((N, D, H, W, Ci)), jnp.float32)
+    layer = nn.ConvTranspose(
+        Co, (3, 3, 3), strides=(2, 2, 2), padding=((1, 2),) * 3, use_bias=False
+    )
+    vs = layer.init(jax.random.PRNGKey(0), x)
+    ref = layer.apply(vs, x)
+
+    packed = _PackedDeconv2x3D(Co, k_in=4, k_out=8)
+    got = packed.apply(
+        {"params": {"kernel": vs["params"]["kernel"]}}, pack_w(x, 4)
+    )
+    np.testing.assert_allclose(
+        np.asarray(unpack_w(got, 8)), np.asarray(ref), atol=2e-5
+    )
+
+
+def test_reg3d_packed_matches_unpacked():
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models.reg import (
+        Reg3D,
+    )
+
+    rng = np.random.default_rng(6)
+    D = 8
+    x = jnp.asarray(rng.standard_normal((2 * D, 16, 32, 8)), jnp.float32)
+    for ds in (3, 2, 1):
+        ru = Reg3D(base_channels=8, down_size=ds, depth=D)
+        rp = Reg3D(base_channels=8, down_size=ds, depth=D, pack=True)
+        vs = ru.init(jax.random.PRNGKey(ds), x, train=False)
+        ref = ru.apply(vs, x, train=False)
+        got = rp.apply(vs, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-4,
+            err_msg=f"down_size={ds}",
+        )
+    # train-mode stats agree too (down_size 2 as representative)
+    ru = Reg3D(base_channels=8, down_size=2, depth=D)
+    rp = Reg3D(base_channels=8, down_size=2, depth=D, pack=True)
+    vs = ru.init(jax.random.PRNGKey(9), x, train=True)
+    ref, rv = ru.apply(vs, x, train=True, mutable=["batch_stats"])
+    got, gv = rp.apply(vs, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        rv["batch_stats"], gv["batch_stats"],
+    )
