@@ -232,7 +232,7 @@ class FPN4(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from ..ops.packed_conv import pack_w, pick_pack, unpack_w
+        from ..ops.packed_conv import pack_w, unpack_w
 
         b = self.base
 
@@ -241,13 +241,9 @@ class FPN4(nn.Module):
         # any input this network can process) — fall back to unpacked
         # execution otherwise rather than mis-sizing the factors
         if self.pack and not self.gn and x.shape[2] % 8 == 0:
-            W = x.shape[2]
-            ks = [pick_pack(W, b)]
-            for lvl in range(1, 4):
-                k = pick_pack(W >> lvl, b << lvl)
-                k = max(k, ks[-1] // 2)
-                ks.append(min(k, ks[-1] * 2))
-            k0, k1, k2, k3 = ks
+            from ..ops.packed_conv import pick_pack_levels
+
+            k0, k1, k2, k3 = pick_pack_levels(x.shape[2], b, 4)
         else:
             k0 = k1 = k2 = k3 = 1
 

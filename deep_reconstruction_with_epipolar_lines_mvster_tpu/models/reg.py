@@ -43,7 +43,7 @@ class Reg2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from ..ops.packed_conv import pack_w, pick_pack, unpack_w
+        from ..ops.packed_conv import pack_w, unpack_w
 
         b = self.base_channels
         mid = AGG_BLOCKS[self.agg_type]
@@ -54,16 +54,9 @@ class Reg2D(nn.Module):
         # 8 | W required by the three stride-2 levels (as for the unpacked
         # U-Net's residual adds); fall back to unpacked execution otherwise
         if self.pack and self.agg_type == "ConvBnReLU3D" and x.shape[-2] % 8 == 0:
-            W = x.shape[-2]
-            # per-level pack factors targeting ~128 resident lanes; each
-            # stride-2 handoff needs 2*k_next % k_prev == 0 (powers of two:
-            # k_next >= k_prev/2)
-            ks = [pick_pack(W, b)]
-            for lvl in range(1, 4):
-                k = pick_pack(W >> lvl, b << lvl)
-                k = max(k, ks[-1] // 2)
-                ks.append(min(k, ks[-1] * 2))
-            k0, k1, k2, k3 = ks
+            from ..ops.packed_conv import pick_pack_levels
+
+            k0, k1, k2, k3 = pick_pack_levels(x.shape[-2], b, 4)
         else:
             k0 = k1 = k2 = k3 = 1
 
@@ -128,7 +121,7 @@ class Reg3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        from ..ops.packed_conv import pack_w, pick_pack, unpack_w
+        from ..ops.packed_conv import pack_w, unpack_w
 
         b = self.base_channels
         dt = self.dtype
@@ -138,11 +131,9 @@ class Reg3D(nn.Module):
         if self.pack and W % (1 << self.down_size) == 0 and self.depth % (
             1 << self.down_size
         ) == 0:
-            ks = [pick_pack(W, b)]
-            for lvl in range(1, nlv):
-                k = pick_pack(W >> lvl, b << lvl)
-                k = max(k, ks[-1] // 2)
-                ks.append(min(k, ks[-1] * 2))
+            from ..ops.packed_conv import pick_pack_levels
+
+            ks = pick_pack_levels(W, b, nlv)
         else:
             ks = [1] * nlv
         ks += [1] * (4 - len(ks))

@@ -164,6 +164,20 @@ def zero_stuff(x: jnp.ndarray, axes: tuple) -> jnp.ndarray:
     return x
 
 
+def pick_pack_levels(W: int, C0: int, n_levels: int) -> list:
+    """Per-level pack factors for a stride-2 U-Net pyramid: level l has
+    width ``W >> l`` and channels ``C0 << l``; consecutive factors keep the
+    stride-2 handoff representable (``2*k_next % k_prev == 0`` — for powers
+    of two, ``k_prev/2 <= k_next <= 2*k_prev``). Caller must ensure
+    ``(1 << (n_levels-1)) | W``."""
+    ks = [pick_pack(W, C0)]
+    for lvl in range(1, n_levels):
+        k = pick_pack(W >> lvl, C0 << lvl)
+        k = max(k, ks[-1] // 2)
+        ks.append(min(k, ks[-1] * 2))
+    return ks
+
+
 def pick_pack(W: int, C: int, target: int = 128, cap: int = 16) -> int:
     """Largest power-of-two pack factor k <= cap with k*C <= 2*target,
     k | W, preferring the smallest k with k*C >= target. Returns 1 when no

@@ -564,8 +564,10 @@ def homo_warp_mxu(
         # rows must be wide enough to fill lanes; bwd = x-banded Pallas
         ay = _v3_align_y(C, src_fea.dtype)
         band_k = band + (ay if ay > 1 else 0)
+        sub_tile = 16 if jnp.dtype(src_fea.dtype).itemsize == 2 else 8
         if (
-            (band_k * C) % 16 == 0 and W_ >= 256 and band_k <= Hs and bwd_ok
+            (band_k * C) % sub_tile == 0
+            and W_ >= 256 and band_k <= Hs and bwd_ok
         ):
             return _warp_v3(src_fea, coords, band, tile_rows, xb, tc)
         # ineligible: fall through to the hybrid/scan paths

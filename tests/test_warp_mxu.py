@@ -330,3 +330,18 @@ def test_v3_warp_matches_gather_path():
         v3=True,
     )
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-5)
+
+
+def test_v3_warp_bf16_widened_band():
+    """bf16 src with C=8: align_y=2, so the kernel runs with the widened
+    18-row band (144 sublanes) and floored starts — the geometry real TPU
+    eval uses; compare against the f32 gather reference."""
+    src, rel, depth = _setup(B=1, D=2, H=16, W=256)
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(
+        src.astype(jnp.bfloat16), rel, depth, band=16, tile_rows=8,
+        xband=96, tile_cols=64, v3=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref), atol=0.05, rtol=0.02
+    )
