@@ -25,12 +25,33 @@ import os
 import time
 
 
+def _require_backend(timeout_s: float = 300.0):
+    """Fail fast with a diagnosable message if the tunnel backend is down
+    (observed failure mode: ``jax.devices()`` blocks for minutes and then
+    raises "Unable to initialize backend 'axon'"). Probe device init in a
+    subprocess so a hang cannot stall the whole bench run."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        raise SystemExit(
+            f"bench: TPU backend unavailable ({type(e).__name__}); "
+            "the axon tunnel is down — retry when it recovers"
+        )
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
 
+    _require_backend()
     model = ge._dtu_model()
     B = 4
     CHAIN = 5
