@@ -133,6 +133,61 @@ def main():
 
         timed(full, (variables, imgs, projs, dv), tag=f"full {tag}")
 
+    # --- DTU-recipe train step: mxu_hybrid (current default) vs mxu_v3 ---
+    import time as _t
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        LossConfig,
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.data.synthetic import (
+        batch_samples,
+        make_plane_scene,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train.schedule import (
+        warmup_multistep,
+    )
+
+    tb = batch_samples(
+        [make_plane_scene(V=5, H=512, W=640, seed=i) for i in range(6)]
+    )
+    for k in ("view_depths", "intrinsics", "extrinsics"):
+        tb.pop(k)
+    tb = jax.tree_util.tree_map(jnp.asarray, tb)
+    for impl in ("mxu_hybrid", "mxu_v3"):
+        cfg = ModelConfig(
+            group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+            mono=True, dtype="bfloat16", remat=False, pack_conv=True,
+            warp_impl=impl,
+        )
+        m = MVS4Net(cfg)
+        tv = ge._init_on_cpu(m, tb, train=True)
+        tx = make_optimizer(warmup_multistep(1e-3, [100000], 0.5), 1e-4)
+        st = TrainState.create(tv, tx)
+        step = jax.jit(
+            make_train_step(m, LossConfig(inverse_depth=True, mono=True,
+                                          l1_lw=0.003, ot_iter=3), tx),
+            donate_argnums=0,
+        )
+        t0 = _t.time()
+        st, sc = step(st, tb)
+        print(f"[train {impl}] compile+first {(_t.time()-t0):.0f}s "
+              f"loss {float(sc['loss']):.3f}", flush=True)
+        times = []
+        for _ in range(5):
+            t0 = _t.time()
+            st, sc = step(st, tb)
+            _ = float(sc["loss"])
+            times.append(_t.time() - t0)
+        times.sort()
+        print(f"[train {impl}] {times[len(times)//2]*1e3:.0f} ms/step",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()
