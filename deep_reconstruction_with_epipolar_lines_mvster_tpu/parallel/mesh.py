@@ -45,23 +45,28 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "space"))
 
 
-def batch_spec() -> Dict[str, Any]:
-    """PartitionSpecs for the sample-dict pytree: batch axis over 'data'."""
+def batch_spec(*, with_valid: bool = False) -> Dict[str, Any]:
+    """PartitionSpecs for the sample-dict pytree: batch axis over 'data'.
+    ``with_valid`` adds the per-sample validity mask pad_batch_to_multiple
+    attaches to uneven trailing val batches."""
     stage_dict = {f"stage{i}": P("data") for i in range(1, 5)}
-    return {
+    spec = {
         "imgs": P("data"),
         "proj_matrices": dict(stage_dict),
         "depth": dict(stage_dict),
         "depth_values": P("data"),
         "mask": dict(stage_dict),
     }
+    if with_valid:
+        spec["valid"] = P("data")
+    return spec
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Place a host batch onto the mesh, sharded along the batch axis.
     Extra keys outside the sample spec (e.g. test-fixture extras) are
     dropped."""
-    specs = batch_spec()
+    specs = batch_spec(with_valid="valid" in batch)
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -79,25 +84,25 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 def pad_batch_to_multiple(batch: Dict[str, Any], mult: int) -> Dict[str, Any]:
     """Pad every leaf's batch axis up to a multiple of ``mult`` by wrapping
-    indices (sample i pads as sample ``i % n``).
+    indices (sample i pads as sample ``i % n``), attaching a per-sample
+    ``"valid"`` float mask (1 real, 0 padded).
 
     Used for the validation loop under a device mesh: the reference keeps
     ``drop_last=False`` on the val loader (train_mvs4.py:595,598), so the
     trailing batch can be smaller than the data-axis size; padding satisfies
-    GSPMD's divisibility rule. NOTE the padded batch's MEAN over-weights the
-    wrapped samples relative to an unpadded run (the trailing batch's
-    scalars are approximate) — an accepted deviation, bounded to the single
-    trailing val batch, in the same spirit as the reference's own
-    DictAverageMeter weighting every batch's mean equally regardless of
-    batch size (utils.py:103-122).
-    """
+    GSPMD's divisibility rule. The eval step consumes ``valid`` to exclude
+    padded samples from every loss/metric reduction (train/step.py,
+    train/metrics.py), so the trailing batch's scalars equal an unpadded
+    single-device run exactly (tests/test_parallel.py)."""
     leaves = jax.tree_util.tree_leaves(batch)
     n = leaves[0].shape[0]
     pad = (-n) % mult
     if pad == 0:
         return batch
     idx = np.arange(n + pad) % n
-    return jax.tree_util.tree_map(lambda x: np.asarray(x)[idx], batch)
+    out = jax.tree_util.tree_map(lambda x: np.asarray(x)[idx], batch)
+    out["valid"] = (np.arange(n + pad) < n).astype(np.float32)
+    return out
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -167,11 +167,22 @@ def make_eval_step(
             batch["depth_values"],
             train=False,
         )
-        total, aux = mvs4net_loss(outputs, batch["depth"], batch["mask"], eval_loss_cfg)
+        # wrap-padded samples (uneven trailing val batch under a mesh,
+        # parallel/mesh.py:pad_batch_to_multiple) are excluded from every
+        # reduction: zeroing their pixel masks makes the masked loss/range
+        # sums exact, and `valid` weights the per-image metric means
+        valid = batch.get("valid")
+        masks = batch["mask"]
+        if valid is not None:
+            masks = {k: v * valid[:, None, None] for k, v in masks.items()}
+        total, aux = mvs4net_loss(outputs, batch["depth"], masks, eval_loss_cfg)
         depth_est = outputs[last]["depth"]
         gt = batch["depth"][last]
-        mask = batch["mask"][last] > 0.5
-        scalars = {"loss": total, **aux, **depth_metrics(depth_est, gt, mask)}
+        mask = masks[last] > 0.5
+        scalars = {
+            "loss": total, **aux,
+            **depth_metrics(depth_est, gt, mask, valid),
+        }
         if with_images:
             return scalars, image_summaries(outputs, batch, num_stages)
         return scalars

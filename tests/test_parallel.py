@@ -222,3 +222,60 @@ def test_shard_map_bn_stats_replicated_on_distinct_samples():
             np.testing.assert_array_equal(np.asarray(sh.data), ref)
         checked += 1
     assert checked > 0
+
+
+def test_padded_val_batch_metrics_exact():
+    """The wrap-padded trailing val batch's scalars must equal the unpadded
+    single-device run EXACTLY (per-sample validity mask in the metric
+    reduction — parallel/mesh.py:pad_batch_to_multiple + train/step.py)."""
+    import jax.numpy as jnp
+
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        LossConfig,
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.data.synthetic import (
+        batch_samples,
+        make_plane_scene,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import MVS4Net
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel.mesh import (
+        pad_batch_to_multiple,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.train import (
+        TrainState,
+        make_eval_step,
+        make_optimizer,
+    )
+
+    cfg = ModelConfig(
+        ndepths=(4, 4, 4, 4), group_cor=True, group_cor_dim=(4, 4, 4, 4),
+        inverse_depth=True, remat=False, warp_impl="mxu",
+    )
+    scenes = [make_plane_scene(V=2, H=64, W=64, seed=i) for i in range(3)]
+    for s in scenes:
+        for k in ("view_depths", "intrinsics", "extrinsics"):
+            s.pop(k)
+    batch = batch_samples(scenes)  # n=3, uneven vs a 4-wide data axis
+
+    model = MVS4Net(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["imgs"]),
+        jax.tree_util.tree_map(jnp.asarray, batch["proj_matrices"]),
+        jnp.asarray(batch["depth_values"]),
+        train=True,
+    )
+    state = TrainState.create(variables, make_optimizer(lambda _: 1e-3))
+    step = jax.jit(make_eval_step(model, LossConfig(inverse_depth=True)))
+
+    padded = pad_batch_to_multiple(batch, 4)
+    assert padded["imgs"].shape[0] == 4 and "valid" in padded
+    np.testing.assert_array_equal(padded["valid"], [1.0, 1.0, 1.0, 0.0])
+
+    ref = step(state, jax.tree_util.tree_map(jnp.asarray, batch))
+    got = step(state, jax.tree_util.tree_map(jnp.asarray, padded))
+    for k in ref:
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=1e-6, atol=1e-7, err_msg=k
+        )
