@@ -86,8 +86,10 @@ class ModelConfig:
                                         # identical, ~5-8x faster on TPU
                                         # (ops/packed_conv.py; BENCH_NOTES)
     fused_topdown: bool = False         # fused Pallas kernel for the FPN's
-                                        # full-res top-down level (eval
-                                        # only; ops/pallas/topdown_fused.py)
+                                        # full-res top-down level, eval +
+                                        # train (custom VJP rematerializes
+                                        # the unfused chain for backward;
+                                        # ops/pallas/topdown_fused.py)
 
     @property
     def compute_dtype(self):

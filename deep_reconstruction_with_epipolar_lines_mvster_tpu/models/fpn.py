@@ -10,9 +10,10 @@ Reimplements the reference backbones:
   ConvNeXt-style stages (depthwise 7x7 + LN + pointwise MLP with layer scale).
 - ``ASFF`` (mvs4net_utils.py:730-812): adaptive per-stage fusion of all four
   pyramid levels with a learned softmax blend.
-- ``DeformConv2d``: DCNv2 (offset + modulation) built on the shared
-  grid-sample gather — TPU equivalent of the external CUDA ``DeformConvPack``
-  the reference imports for ``--dcn`` (mvs4net_utils.py:410-424).
+- ``DeformConv2d``: DCN v1 (offsets; optional v2 modulation) built on the
+  shared grid-sample gather — TPU equivalent of the external CUDA
+  ``DeformConvPack`` the reference imports for ``--dcn``
+  (mvs4net_utils.py:410-424); transplant-mapped in utils/torch_port.py.
 """
 
 from __future__ import annotations
@@ -28,15 +29,25 @@ from .layers import BN_EPS, BN_MOMENTUM, ConvBnReLU, TorchBatchNorm
 
 
 class DeformConv2d(nn.Module):
-    """Deformable conv v2 (3x3, stride 1) via 9 bilinear gathers.
+    """Deformable conv (3x3, stride 1) via 9 bilinear gathers.
 
-    Offsets and modulation start at zero (sigmoid(0)=0.5 modulation), matching
-    the reference init (mvs4net_utils.py:283-291), so the initial function is
-    a plain 3x3 conv scaled by 0.5.
+    Matches the external CUDA ``DeformConvPack`` the reference's ``--dcn``
+    path uses (DCN v1, NA_DCN construction at mvs4net_utils.py:410-424):
+    the offset conv (3x3, zero-init, channel layout ``(dy, dx)`` per tap,
+    taps row-major) predicts per-tap displacements, each tap is bilinearly
+    sampled with zeros outside the image, and the taps contract against the
+    3x3 weight — expressed here as a 1x1 conv over the tap-major-stacked
+    samples, which is the identical linear map in MXU-friendly form. The
+    offset conv starts at zero so the initial function is a plain 3x3 conv.
+
+    ``modulated=True`` adds the DCNv2 sigmoid modulation branch (the
+    reference's *unused* hand-rolled ``DeformConv2d``, mvs4net_utils.py:
+    274-408, is modulated; its active ``DeformConvPack`` is not).
     """
 
     out_channels: int
     kernel: int = 3
+    modulated: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -48,12 +59,14 @@ class DeformConv2d(nn.Module):
             2 * n, (3, 3), padding="SAME", dtype=self.dtype,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
         )(x)  # [B, H, W, 2n] — (dy, dx) per tap
-        modulation = nn.sigmoid(
-            nn.Conv(
-                n, (3, 3), padding="SAME", dtype=self.dtype,
-                kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            )(x)
-        )  # [B, H, W, n]
+        if self.modulated:
+            modulation = nn.sigmoid(
+                nn.Conv(
+                    n, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                )(x)
+            )  # [B, H, W, n]
 
         ys = jnp.arange(H, dtype=jnp.float32)
         xs = jnp.arange(W, dtype=jnp.float32)
@@ -68,9 +81,11 @@ class DeformConv2d(nn.Module):
                 py = gy[None] + dy + offsets[..., 2 * t]
                 coords = jnp.stack([px, py], axis=-1)  # [B, H, W, 2]
                 sampled = grid_sample_2d(x, coords)     # [B, H, W, C]
-                taps.append(sampled * modulation[..., t : t + 1])
+                if self.modulated:
+                    sampled = sampled * modulation[..., t : t + 1]
+                taps.append(sampled)
                 t += 1
-        stacked = jnp.concatenate(taps, axis=-1)  # [B, H, W, n*C]
+        stacked = jnp.concatenate(taps, axis=-1)  # [B, H, W, n*C] tap-major
         return nn.Conv(
             self.out_channels, (1, 1), use_bias=False, dtype=self.dtype
         )(stacked)
@@ -133,8 +148,9 @@ class _TopDown(nn.Module):
     ``out4(up2(intra) + inner3(conv0))`` through the fused Pallas kernel
     (ops/pallas/topdown_fused.py) — the unfused chain materializes three
     full-res 64-channel tensors in HBM and dominates eval FPN time. Values
-    identical up to f32 accumulation order; eval-only (no VJP), the train
-    path stays unfused.
+    identical up to f32 accumulation order; differentiable (the kernel's
+    custom VJP rematerializes the unfused chain for the backward), so the
+    fused forward also serves the train step.
     """
 
     base: int
@@ -149,7 +165,7 @@ class _TopDown(nn.Module):
         b = self.base
         final = 8 * b
         fused = (
-            self.fuse_final and not train
+            self.fuse_final
             and final == 64
             # kernel geometry: 8 | H row tiles, H = 2*Hh with Hh >= HWIN=8,
             # W = 2*Wh exactly (even)
@@ -227,7 +243,7 @@ class FPN4(nn.Module):
                              # stem convs are ~5x off roofline unpacked).
                              # BatchNorm stems only (gn unsupported).
     fuse_topdown: bool = False  # fused Pallas final top-down level
-                             # (ops/pallas/topdown_fused.py, eval only)
+                             # (ops/pallas/topdown_fused.py; differentiable)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -297,7 +313,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is exact erf
         x = nn.Dense(d2, dtype=self.dtype)(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (d2,)
@@ -324,7 +340,7 @@ class ConvNeXt4Block(nn.Module):
         )(inp)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU() is exact erf
         x = nn.Dense(d2, dtype=self.dtype)(x)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (d2,)

@@ -26,8 +26,13 @@ Layout/technique notes (same playbook as ops/pallas/warp_fwd_v3):
 - conv edge rows (r-1 < 0, r+1 >= H) are zero-masked; the skip arrays are
   pre-padded with one zero row top+bottom so windows never clamp.
 
-Forward-only: training keeps the unfused XLA path (this is an eval-path
-fusion; both compute the same values up to f32-accumulation order).
+Differentiable (round 3): ``topdown_fused_level`` carries a ``custom_vjp``
+whose backward re-derives the gradient through the *unfused* XLA chain
+(rematerialized — the same trade ``jax.checkpoint`` makes): the fused kernel
+only changes f32 accumulation order, so the unfused chain's VJP is the
+correct gradient, and the forward pass still skips the three full-res HBM
+intermediates. Backward cost equals the unfused fwd+bwd; net train-step win
+is the forward's removed HBM traffic.
 """
 
 from __future__ import annotations
@@ -166,6 +171,42 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
         out_ref[0, j] = acc.astype(out_ref.dtype)
 
 
+def _unfused_chain(intra, skip, wi, bi, wo):
+    """The XLA reference computation (models/fpn.py:_TopDown unfused path) —
+    used by the custom VJP as the rematerialized backward."""
+    from ...core.geometry import resize_align_corners
+
+    H, W = skip.shape[1:3]
+    up = resize_align_corners(intra, (H, W))
+    i3 = jax.lax.conv_general_dilated(
+        skip, wi, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bi.astype(skip.dtype)
+    return jax.lax.conv_general_dilated(
+        up + i3, wo, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused(intra, skip, wi, bi, wo, tile_rows, interpret):
+    return _run_kernel(intra, skip, wi, bi, wo, tile_rows, interpret)
+
+
+def _fused_fwd(intra, skip, wi, bi, wo, tile_rows, interpret):
+    return (
+        _run_kernel(intra, skip, wi, bi, wo, tile_rows, interpret),
+        (intra, skip, wi, bi, wo),
+    )
+
+
+def _fused_bwd(tile_rows, interpret, res, g):
+    _, vjp = jax.vjp(_unfused_chain, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
 def topdown_fused_level(
     intra: jnp.ndarray,    # [N, Hh, Wh, Ci=64] half-res pathway
     skip: jnp.ndarray,     # [N, H, W, Cs] lateral (conv0/1/2)
@@ -176,6 +217,19 @@ def topdown_fused_level(
     tile_rows: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:          # [N, H, W, Co]
+    """Differentiable fused top-down level (see module docstring)."""
+    return _fused(intra, skip, wi, bi, wo, tile_rows, interpret)
+
+
+def _run_kernel(
+    intra: jnp.ndarray,
+    skip: jnp.ndarray,
+    wi: jnp.ndarray,
+    bi: jnp.ndarray,
+    wo: jnp.ndarray,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
     N, Hh, Wh, Ci = intra.shape
     _, H, W, Cs = skip.shape
     Co = wo.shape[-1]

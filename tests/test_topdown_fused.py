@@ -44,7 +44,8 @@ def test_fused_level_matches_xla_chain(N, Hh, Wh, Cs, Co, seed):
 
 def test_full_model_fused_topdown_matches():
     """MVS4Net with fused_topdown=True: identical variables tree, identical
-    eval depths; train mode transparently uses the unfused path."""
+    eval depths (train mode uses the kernel too — its custom VJP is covered
+    by test_fused_level_vjp_matches_xla_chain)."""
     import dataclasses
 
     import __graft_entry__ as ge
@@ -91,4 +92,41 @@ def test_full_model_fused_topdown_matches():
             np.asarray(got[f"stage{s}"]["photometric_confidence"]),
             np.asarray(ref[f"stage{s}"]["photometric_confidence"]),
             atol=5e-3,
+        )
+
+
+def test_fused_level_vjp_matches_xla_chain():
+    """The kernel's custom VJP (rematerialized unfused chain) must produce
+    the same gradients as differentiating the XLA chain directly — for all
+    five inputs (intra, skip, wi, bi, wo)."""
+    rng = np.random.default_rng(3)
+    N, Hh, Wh, Ci, Cs, Co = 1, 16, 24, 64, 8, 8
+    H, W = 2 * Hh, 2 * Wh
+    intra = jnp.asarray(rng.standard_normal((N, Hh, Wh, Ci)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((N, H, W, Cs)), jnp.float32)
+    wi = jnp.asarray(rng.standard_normal((1, 1, Cs, Ci)) * 0.1, jnp.float32)
+    bi = jnp.asarray(rng.standard_normal((Ci,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.05, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((N, H, W, Co)), jnp.float32)
+
+    def loss_fused(*a):
+        return (topdown_fused_level(*a, interpret=True) * cot).sum()
+
+    def loss_ref(intra, skip, wi, bi, wo):
+        up = resize_align_corners(intra, (H, W))
+        i3 = jax.lax.conv_general_dilated(
+            skip, wi, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + bi
+        o = jax.lax.conv_general_dilated(
+            up + i3, wo, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return (o * cot).sum()
+
+    args = (intra, skip, wi, bi, wo)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(("intra", "skip", "wi", "bi", "wo"), g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
         )
