@@ -55,10 +55,29 @@ class MVS4Net(nn.Module):
         depth_values: jnp.ndarray,
         *,
         train: bool,
+        space_axis: str | None = None,
+        space_shards: int = 1,
+        space_halo: int = 48,
     ) -> Dict[str, Any]:
+        """``space_axis``: run the cost-volume pipeline row-sharded over that
+        shard_map mesh axis (eval only) — the spatial-parallel path for
+        high-res eval (SURVEY.md §5.7). Design: the backbone runs replicated
+        over ``space`` (~30% of eval time at the bench shape; replicating it
+        makes every source view's features locally available, so the
+        homography warp — whose source rows are geometry-dependent and
+        unbounded — needs NO halo exchange), while the dominant per-stage
+        warp/correlation/regularization/readout shards by OUTPUT rows with a
+        ``space_halo`` overlap covering the reg U-Net's receptive field
+        (exact overlap-tile inference), and the depth readout rows are
+        all-gathered between stages for the next hypothesis window. Stages
+        too small to window (coarse levels) run replicated. Results are
+        bit-identical to the unsharded forward (tests/test_spatial_sharding).
+        """
         cfg = self.cfg
         B, V, H, W, _ = imgs.shape
         dtype = cfg.compute_dtype
+        if space_axis is not None and train:
+            raise NotImplementedError("spatial sharding is an eval-path feature")
 
         # ---- feature extraction: views folded into batch --------------------
         # nn.remat: recompute activations in the backward pass instead of
@@ -158,7 +177,36 @@ class MVS4Net(nn.Module):
             else:
                 penc = None
 
-            def reg_apply(vol, _regnet=regnet, _penc=penc, _hypo=hypo, _d=cfg.ndepths[s]):
+            # ---- spatial (row) sharding of the stage pipeline ------------
+            halo = space_halo - space_halo % 8
+            hs = h // space_shards if space_shards else h
+            ws = hs + 2 * halo
+            spatial = (
+                space_axis is not None
+                and space_shards > 1
+                and h % (space_shards * 8) == 0
+                and ws < h  # coarse stages run replicated instead
+            )
+            if spatial:
+                p = jax.lax.axis_index(space_axis)
+                start = jnp.clip(p * hs - halo, 0, h - ws)
+                crop = p * hs - start
+                stage_hypo = jax.lax.dynamic_slice_in_dim(hypo, start, ws, axis=2)
+                stage_views = [
+                    jax.lax.dynamic_slice_in_dim(stage_views[0], start, ws, axis=1)
+                ] + stage_views[1:]
+                # ref pixel rows become window-local: shift the ref view's
+                # principal point cy by the window start (exact — the
+                # analytic K inverse in core.geometry absorbs it)
+                shift = jnp.zeros_like(projs).at[:, 0, 1, 1, 2].add(
+                    start.astype(projs.dtype)
+                )
+                projs = projs - shift
+            else:
+                stage_hypo = hypo
+
+            def reg_apply(vol, _regnet=regnet, _penc=penc, _hypo=stage_hypo,
+                          _d=cfg.ndepths[s]):
                 # vol is folded [B*D, h, w, G]; pos-enc operates per-depth-bin
                 if _penc is not None:
                     N, hh, ww, cc = vol.shape
@@ -167,7 +215,7 @@ class MVS4Net(nn.Module):
                 return _regnet(vol, train)
 
             out = run_stage(
-                stage_views, projs, hypo, reg_apply,
+                stage_views, projs, stage_hypo, reg_apply,
                 group_cor=cfg.group_cor,
                 group_dim=cfg.group_cor_dim[s],
                 split_itv=cfg.depth_inter_r[s],
@@ -181,8 +229,22 @@ class MVS4Net(nn.Module):
                 warp_xband=cfg.warp_xband,
                 warp_tile_cols=cfg.warp_tile_cols,
             )
-            if cfg.mono:
-                out["mono_feat"] = stage_views[0]  # reference view features
+            if spatial:
+                # crop the halo away, reassemble full-H maps across shards
+                def reassemble(v):
+                    if v.ndim < 3:
+                        return v  # train-mode scalar confidence
+                    axis = 2 if v.ndim == 4 else 1  # [B,D,h,w] vs [B,h,w]
+                    rows = jax.lax.dynamic_slice_in_dim(v, crop, hs, axis=axis)
+                    return jax.lax.all_gather(
+                        rows, space_axis, axis=axis, tiled=True
+                    )
+
+                out = {k: reassemble(v) for k, v in out.items()}
+            if cfg.mono and not spatial:
+                # reference view features (train-only consumer; under spatial
+                # sharding stage_views[0] is a row window — eval never reads it)
+                out["mono_feat"] = stage_views[0]
             outputs[f"stage{s + 1}"] = out
             # next-stage windows come from detached predictions
             # (reference MVS4Net.py:116-118 uses .detach())

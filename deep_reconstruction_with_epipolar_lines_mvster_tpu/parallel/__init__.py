@@ -11,6 +11,7 @@ from .mesh import (
     shard_batch,
     shard_eval_forward,
     shard_eval_forward_shard_map,
+    shard_eval_forward_space,
     shard_train_step,
     shard_train_step_shard_map,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "shard_batch",
     "shard_eval_forward",
     "shard_eval_forward_shard_map",
+    "shard_eval_forward_space",
     "shard_train_step",
     "shard_train_step_shard_map",
     "sync_hosts",

@@ -140,11 +140,51 @@ def shard_eval_forward_shard_map(forward, mesh: Mesh):
     across chips instead of being gathered/replicated by the GSPMD
     partitioner (which cannot partition ``pallas_call``).
 
-    Same signature as :func:`shard_eval_forward` but data-parallel only
-    (no ``space`` sharding — spatial shards would split the kernels' tile
-    geometry mid-image; use the GSPMD variant for height sharding of
-    kernel-free configs).
+    Same signature as :func:`shard_eval_forward`. For spatial (row) sharding
+    of Pallas-kernel configs use :func:`shard_eval_forward_space`, which
+    drives the model's halo-windowed row decomposition over the ``space``
+    axis; this wrapper shards the batch only (a custom ``forward`` may still
+    use the ``space`` axis itself — inputs are replicated over it).
     """
+    fn = jax.shard_map(
+        forward,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P("data"),
+            {f"stage{i}": P("data") for i in range(1, 5)},
+            P("data"),
+        ),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_eval_forward_space(model, mesh: Mesh, *, space_halo: int = 48):
+    """shard_map eval forward over the 2-D ``(data, space)`` mesh with the
+    model's row-sharded cost-volume pipeline (models/mvs4net.py
+    ``space_axis`` — backbone replicated over ``space``, warp/reg/readout
+    windowed by output rows with a U-Net-receptive-field halo, depth rows
+    all-gathered between stages). Pallas kernels execute on per-shard local
+    row windows, so the flagship eval config spatially shards — the case
+    GSPMD cannot partition (it would gather/replicate ``pallas_call``).
+
+    Returns a jitted ``fn(variables, imgs, projs, dv) -> (depth, conf)``
+    with batch sharded over ``data`` and rows computed over ``space``;
+    results are bit-identical to the unsharded forward
+    (tests/test_spatial_sharding.py).
+    """
+    n_space = mesh.shape["space"]
+    last = f"stage{model.cfg.num_stages}"
+
+    def forward(variables, imgs, projs, dv):
+        out = model.apply(
+            variables, imgs, projs, dv, train=False,
+            space_axis="space", space_shards=n_space, space_halo=space_halo,
+        )
+        return out[last]["depth"], out[last]["photometric_confidence"]
+
     fn = jax.shard_map(
         forward,
         mesh=mesh,
