@@ -424,8 +424,13 @@ class ASFF(nn.Module):
             r2 = up_nearest(conv(inter, 1, 1)(x2, train=train), 2)
             r3 = x3
 
+        # reference quirk: weight_level_X = Conv2d(dim, 8, 1, 1, 0) passes the
+        # trailing 0 POSITIONALLY into the wrapper's `relu` parameter
+        # (mvs4net_utils.py:757-760 with :233-234), so the per-level weight
+        # heads are conv+BN with NO ReLU — reproduced (torch-parity-tested)
         ws = [
-            ConvBnReLU(8, 1, dtype=self.dtype)(r, train=train) for r in (r0, r1, r2, r3)
+            ConvBnReLU(8, 1, relu=False, dtype=self.dtype)(r, train=train)
+            for r in (r0, r1, r2, r3)
         ]
         w = nn.Conv(4, (1, 1), dtype=self.dtype)(jnp.concatenate(ws, axis=-1))
         w = nn.softmax(w, axis=-1)

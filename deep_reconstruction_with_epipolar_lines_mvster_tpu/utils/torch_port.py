@@ -65,6 +65,21 @@ def _vec(w) -> np.ndarray:
     return np.asarray(w)
 
 
+def _dense(w) -> np.ndarray:
+    # torch Linear [O, I] -> flax Dense kernel [I, O]
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _dcn_weight(w) -> np.ndarray:
+    """DeformConvPack ``weight`` [O, I, kh, kw] -> the 1x1 kernel of our
+    DeformConv2d's tap contraction, [1, 1, kh*kw*I, O] with input index
+    ``tap * I + i`` (taps row-major) — matching the tap-major stack in
+    ``models/fpn.py:DeformConv2d``."""
+    w = np.asarray(w)
+    O, I, kh, kw = w.shape
+    return np.transpose(w, (2, 3, 1, 0)).reshape(1, 1, kh * kw * I, O)
+
+
 # ------------------------------------------------------------- map builder --
 
 def _bn(entries, flax_prefix: str, torch_prefix: str):
@@ -86,7 +101,38 @@ def _conv_bn_relu(entries, flax_prefix: str, torch_prefix: str, transform=_conv2
     _bn(entries, f"{flax_prefix}/BatchNorm_0", f"{torch_prefix}.bn")
 
 
-def _fpn4_entries(entries, feature: str):
+def _topdown_entries(entries, td: str, *, dcn: bool = False):
+    """The FPN top-down pathway (inner/out convs) shared by FPN4 and the
+    ConvNeXt variants (reference mvs4net_utils.py:459-502, :604-650), plus
+    the optional NA_DCN heads (``:410-424``, ``feature.dcn{1..4}`` =
+    Sequential(BatchNorm2d, ReLU, DeformConvPack))."""
+    for i, p in enumerate(["inner1", "inner2", "inner3"]):
+        entries.append(("params", f"{td}/Conv_{i}/kernel", f"feature.{p}.weight", _conv2d))
+        entries.append(("params", f"{td}/Conv_{i}/bias", f"feature.{p}.bias", _vec))
+    for i, p in enumerate(["out1", "out2", "out3", "out4"]):
+        entries.append(
+            ("params", f"{td}/Conv_{i + 3}/kernel", f"feature.{p}.weight", _conv2d)
+        )
+    if dcn:
+        for i in range(4):
+            na = f"{td}/NADCN_{i}"
+            _bn(entries, f"{na}/BatchNorm_0", f"feature.dcn{i + 1}.0")
+            dc = f"{na}/DeformConv2d_0"
+            entries.append((
+                "params", f"{dc}/Conv_0/kernel",
+                f"feature.dcn{i + 1}.2.conv_offset.weight", _conv2d,
+            ))
+            entries.append((
+                "params", f"{dc}/Conv_0/bias",
+                f"feature.dcn{i + 1}.2.conv_offset.bias", _vec,
+            ))
+            entries.append((
+                "params", f"{dc}/Conv_1/kernel",
+                f"feature.dcn{i + 1}.2.weight", _dcn_weight,
+            ))
+
+
+def _fpn4_entries(entries, feature: str, *, dcn: bool = False):
     """FPN4 (reference mvs4net_utils.py:426-509). ``feature`` is the flax
     module name (``FPN4_0`` or ``CheckpointFPN4_0`` under remat)."""
     stem = [
@@ -97,33 +143,145 @@ def _fpn4_entries(entries, feature: str):
     ]
     for i, p in enumerate(stem):
         _conv_bn_relu(entries, f"{feature}/ConvBnReLU_{i}", f"feature.{p}")
-    td = f"{feature}/_TopDown_0"
-    for i, p in enumerate(["inner1", "inner2", "inner3"]):
-        entries.append(("params", f"{td}/Conv_{i}/kernel", f"feature.{p}.weight", _conv2d))
-        entries.append(("params", f"{td}/Conv_{i}/bias", f"feature.{p}.bias", _vec))
-    for i, p in enumerate(["out1", "out2", "out3", "out4"]):
+    _topdown_entries(entries, f"{feature}/_TopDown_0", dcn=dcn)
+
+
+def _fpn4_convnext_entries(entries, feature: str, *, patchify: bool,
+                           dcn: bool = False):
+    """FPN4_convnext / FPN4_convnext4 (reference mvs4net_utils.py:588-728):
+    2-conv stem + three ConvNeXt stages + the shared top-down pathway."""
+    _conv_bn_relu(entries, f"{feature}/ConvBnReLU_0", "feature.conv0.0")
+    _conv_bn_relu(entries, f"{feature}/ConvBnReLU_1", "feature.conv0.1")
+    block_cls = "ConvNeXt4Block" if patchify else "ConvNeXtBlock"
+    for i in range(3):
+        blk = f"{feature}/{block_cls}_{i}"
+        tb = f"feature.conv{i + 1}"
+        if patchify:
+            # convnext4_block: sconv (2x2 stride-2) then dwconv (7x7 grouped)
+            entries.append(("params", f"{blk}/Conv_0/kernel", f"{tb}.sconv.weight", _conv2d))
+            entries.append(("params", f"{blk}/Conv_0/bias", f"{tb}.sconv.bias", _vec))
+            entries.append(("params", f"{blk}/Conv_1/kernel", f"{tb}.dwconv.weight", _conv2d))
+            entries.append(("params", f"{blk}/Conv_1/bias", f"{tb}.dwconv.bias", _vec))
+        else:
+            entries.append(("params", f"{blk}/Conv_0/kernel", f"{tb}.dwconv.weight", _conv2d))
+            entries.append(("params", f"{blk}/Conv_0/bias", f"{tb}.dwconv.bias", _vec))
+        entries.append(("params", f"{blk}/LayerNorm_0/scale", f"{tb}.norm.weight", _vec))
+        entries.append(("params", f"{blk}/LayerNorm_0/bias", f"{tb}.norm.bias", _vec))
+        entries.append(("params", f"{blk}/Dense_0/kernel", f"{tb}.pwconv1.weight", _dense))
+        entries.append(("params", f"{blk}/Dense_0/bias", f"{tb}.pwconv1.bias", _vec))
+        entries.append(("params", f"{blk}/Dense_1/kernel", f"{tb}.pwconv2.weight", _dense))
+        entries.append(("params", f"{blk}/Dense_1/bias", f"{tb}.pwconv2.bias", _vec))
+        entries.append(("params", f"{blk}/gamma", f"{tb}.gamma", _vec))
+    _topdown_entries(entries, f"{feature}/_TopDown_0", dcn=dcn)
+
+
+# per ASFF level: the three level-specific convs in the reference's
+# construction order == our instantiation order (models/fpn.py:ASFF vs
+# reference mvs4net_utils.py:736-755)
+_ASFF_LEVEL_CONVS = {
+    0: ["stride_level_1", "stride_level_2", "stride_level_3"],
+    1: ["compress_level_0", "stride_level_2", "stride_level_3"],
+    2: ["compress_level_0", "compress_level_1", "stride_level_3"],
+    3: ["compress_level_0", "compress_level_1", "compress_level_2"],
+}
+
+
+def _asff_entries(entries, num_stages: int):
+    """ASFF fusion modules (reference mvs4net_utils.py:730-812; constructed
+    as ``self.asff = nn.ModuleList([ASFF(i) ...])``, MVS4Net.py:42-43)."""
+    for s in range(num_stages):
+        flax_pfx = f"ASFF_{s}"
+        t = f"asff.{s}"
+        for i, name in enumerate(_ASFF_LEVEL_CONVS[s]):
+            _conv_bn_relu(entries, f"{flax_pfx}/ConvBnReLU_{i}", f"{t}.{name}")
+        for k in range(4):
+            _conv_bn_relu(
+                entries, f"{flax_pfx}/ConvBnReLU_{3 + k}", f"{t}.weight_level_{k}"
+            )
         entries.append(
-            ("params", f"{td}/Conv_{i + 3}/kernel", f"feature.{p}.weight", _conv2d)
+            ("params", f"{flax_pfx}/Conv_0/kernel", f"{t}.weight_levels.weight", _conv2d)
         )
+        entries.append(
+            ("params", f"{flax_pfx}/Conv_0/bias", f"{t}.weight_levels.bias", _vec)
+        )
+        _conv_bn_relu(entries, f"{flax_pfx}/ConvBnReLU_7", f"{t}.expand")
 
 
-def _reg2d_entries(entries, flax_reg: str, torch_reg: str):
-    """reg2d (reference mvs4net_utils.py:884-926), agg_type=ConvBnReLU3D.
+def _agg_block(entries, flax_blk: str, torch_blk: str, agg_type: str):
+    """One attention mid block (reference ConvBnReLU3D_{CAM,DCAM,PAM,PDAM},
+    mvs4net_utils.py:132-202): full 3x3x3 conv + attention branch + post-
+    residual BN (models/layers.py:_AttnConvBase)."""
+    entries.append(
+        ("params", f"{flax_blk}/Conv_0/kernel", f"{torch_blk}.conv.weight", _conv3d)
+    )
+    _bn(entries, f"{flax_blk}/BatchNorm_0", f"{torch_blk}.bn")
+    if agg_type in ("ConvBnReLU3D_CAM", "ConvBnReLU3D_DCAM"):
+        for j, t in enumerate(("linear_agg.0", "linear_agg.2")):
+            entries.append((
+                "params", f"{flax_blk}/_MLP_0/Dense_{j}/kernel",
+                f"{torch_blk}.{t}.weight", _dense,
+            ))
+            entries.append((
+                "params", f"{flax_blk}/_MLP_0/Dense_{j}/bias",
+                f"{torch_blk}.{t}.bias", _vec,
+            ))
+    elif agg_type == "ConvBnReLU3D_PAM":
+        entries.append((
+            "params", f"{flax_blk}/Conv_1/kernel",
+            f"{torch_blk}.pixel_conv.weight", _conv2d,
+        ))
+        entries.append((
+            "params", f"{flax_blk}/Conv_1/bias",
+            f"{torch_blk}.pixel_conv.bias", _vec,
+        ))
+    elif agg_type == "ConvBnReLU3D_PDAM":
+        entries.append((
+            "params", f"{flax_blk}/Conv_1/kernel",
+            f"{torch_blk}.spatial_conv.weight", _conv3d,
+        ))
+        entries.append((
+            "params", f"{flax_blk}/Conv_1/bias",
+            f"{torch_blk}.spatial_conv.bias", _vec,
+        ))
+    else:
+        raise NotImplementedError(f"agg_type {agg_type!r}")
+
+
+def _reg2d_entries(entries, flax_reg: str, torch_reg: str,
+                   agg_type: str = "ConvBnReLU3D"):
+    """reg2d (reference mvs4net_utils.py:884-926).
 
     Flax child numbering follows *instantiation* order in ``Reg2D.__call__``
     (models/reg.py): each mid block is constructed before the stride conv it
-    wraps, so ConvBnReLU3D_{0..6} = torch conv0, conv2, conv1, conv4, conv3,
-    conv6, conv5.
+    wraps. With the default agg_type all seven blocks share one class, so
+    ConvBnReLU3D_{0..6} = torch conv0, conv2, conv1, conv4, conv3, conv6,
+    conv5; with an attention agg_type the mid blocks (torch conv2/conv4/
+    conv6, MVS4Net ``conv_name`` slots, mvs4net_utils.py:891-897) get their
+    own class counter ``{AGG}_{0..2}`` and the plain stride/boundary convs
+    renumber to ConvBnReLU3D_{0..3} = conv0, conv1, conv3, conv5.
     """
-    order = [
-        ("ConvBnReLU3D_0", "conv0", _conv3d_as_2d),
-        ("ConvBnReLU3D_1", "conv2", _conv3d),
-        ("ConvBnReLU3D_2", "conv1", _conv3d_as_2d),
-        ("ConvBnReLU3D_3", "conv4", _conv3d),
-        ("ConvBnReLU3D_4", "conv3", _conv3d_as_2d),
-        ("ConvBnReLU3D_5", "conv6", _conv3d),
-        ("ConvBnReLU3D_6", "conv5", _conv3d_as_2d),
-    ]
+    if agg_type == "ConvBnReLU3D":
+        order = [
+            ("ConvBnReLU3D_0", "conv0", _conv3d_as_2d),
+            ("ConvBnReLU3D_1", "conv2", _conv3d),
+            ("ConvBnReLU3D_2", "conv1", _conv3d_as_2d),
+            ("ConvBnReLU3D_3", "conv4", _conv3d),
+            ("ConvBnReLU3D_4", "conv3", _conv3d_as_2d),
+            ("ConvBnReLU3D_5", "conv6", _conv3d),
+            ("ConvBnReLU3D_6", "conv5", _conv3d_as_2d),
+        ]
+    else:
+        order = [
+            ("ConvBnReLU3D_0", "conv0", _conv3d_as_2d),
+            ("ConvBnReLU3D_1", "conv1", _conv3d_as_2d),
+            ("ConvBnReLU3D_2", "conv3", _conv3d_as_2d),
+            ("ConvBnReLU3D_3", "conv5", _conv3d_as_2d),
+        ]
+        for i, torch_name in enumerate(["conv2", "conv4", "conv6"]):
+            _agg_block(
+                entries, f"{flax_reg}/{agg_type}_{i}",
+                f"{torch_reg}.{torch_name}", agg_type,
+            )
     for flax_name, torch_name, tr in order:
         _conv_bn_relu(entries, f"{flax_reg}/{flax_name}", f"{torch_reg}.{torch_name}", tr)
     for i, torch_name in enumerate(["conv7", "conv9", "conv11"]):
@@ -249,33 +407,37 @@ def torch_state_dict_to_flax(state_dict, template_variables, cfg):
         for k, v in state_dict.items()
     }
 
-    if cfg.arch_mode != "fpn":
-        raise NotImplementedError(
-            f"torch transplant: arch_mode={cfg.arch_mode!r} not mapped yet"
-        )
-    if cfg.agg_type != "ConvBnReLU3D":
-        raise NotImplementedError(
-            f"torch transplant: agg_type={cfg.agg_type!r} not mapped yet"
-        )
-    if cfg.dcn or cfg.asff or cfg.pos_enc:
-        raise NotImplementedError("torch transplant: dcn/asff/pos_enc not mapped yet")
+    if cfg.gn and cfg.dcn:
+        raise NotImplementedError("torch transplant: gn+dcn (GroupNorm NA_DCN) not mapped")
 
     tmpl_flat = {
         col: _flatten(template_variables[col]) for col in template_variables
     }
-    feature = (
-        "CheckpointFPN4_0"
-        if any(p.startswith("CheckpointFPN4_0/") for p in tmpl_flat["params"])
-        else "FPN4_0"
+    # backbone module name: FPN4_0 / FPN4ConvNeXt_0, Checkpoint- prefixed
+    # under remat
+    feature = next(
+        p.split("/")[0] for p in tmpl_flat["params"] if "FPN4" in p.split("/")[0]
     )
 
     entries: list = []
-    _fpn4_entries(entries, feature)
+    if cfg.arch_mode == "fpn":
+        _fpn4_entries(entries, feature, dcn=cfg.dcn)
+    elif cfg.arch_mode in ("fpn_convnext", "fpn_convnext4"):
+        _fpn4_convnext_entries(
+            entries, feature,
+            patchify=(cfg.arch_mode == "fpn_convnext4"), dcn=cfg.dcn,
+        )
+    else:
+        raise NotImplementedError(
+            f"torch transplant: arch_mode={cfg.arch_mode!r} not mapped"
+        )
+    if cfg.asff:
+        _asff_entries(entries, cfg.num_stages)
     from ..models.mvs4net import REG3D_DOWN_SIZE
 
     for s in range(cfg.num_stages):
         if cfg.reg_mode == "reg2d":
-            _reg2d_entries(entries, f"reg_stage{s + 1}", f"reg.{s}")
+            _reg2d_entries(entries, f"reg_stage{s + 1}", f"reg.{s}", cfg.agg_type)
         else:
             _reg3d_entries(
                 entries, f"reg_stage{s + 1}", f"reg.{s}", REG3D_DOWN_SIZE[s]
@@ -283,7 +445,30 @@ def torch_state_dict_to_flax(state_dict, template_variables, cfg):
     if cfg.mono:
         _mono_entries(entries)
 
-    out = {col: {} for col in ("params", "batch_stats")}
+    # pos_enc: the reference parses --pos_enc but never populates
+    # pos_enc_func (dead flag, MVS4Net.py:51-52), so reference checkpoints
+    # contain NO pos-enc tensors regardless of the flag. pos_enc=1 (sine) is
+    # parameter-free here too; pos_enc=2 (learned) has embeddings with no
+    # torch source — keep the template's fresh init and say so.
+    posenc_fresh = {
+        col: {
+            p: np.asarray(v)
+            for p, v in tmpl_flat[col].items()
+            if p.startswith("pos_enc_stage")
+        }
+        for col in tmpl_flat
+    }
+    if cfg.pos_enc == 2 and posenc_fresh["params"]:
+        import warnings
+
+        warnings.warn(
+            "pos_enc=2: reference checkpoints carry no learned pos-enc "
+            "tensors (dead flag upstream, MVS4Net.py:51-52); the "
+            "depth embeddings keep their fresh initialization",
+            stacklevel=2,
+        )
+
+    out = {col: dict(posenc_fresh.get(col, {})) for col in ("params", "batch_stats")}
     problems = []
     for col, flax_path, torch_key, transform in entries:
         if torch_key not in sd:

@@ -145,8 +145,11 @@ def _build_ref(cfg, seed=0):
         group_cor_dim=list(cfg.group_cor_dim),
         inverse_depth=cfg.inverse_depth,
         agg_type=cfg.agg_type,
+        dcn=cfg.dcn,
+        pos_enc=cfg.pos_enc,
         mono=cfg.mono,
         mono_stg_itrpl=cfg.mono_stg_itrpl,
+        asff=cfg.asff,
         attn_temp=cfg.attn_temp,
         attn_fuse_d=cfg.attn_fuse_d,
     )
