@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug_model", type=int, default=0)
     p.add_argument("--debug_depth_gen", type=int, default=0)
     p.add_argument("--debug_depth_filter", type=int, default=0)
+    p.add_argument("--space", type=int, default=1,
+                   help="row-shard the eval cost-volume pipeline over this "
+                        "many devices (shard_map 'space' axis with halo "
+                        "windows — parallel/mesh.py, models/mvs4net.py); "
+                        "1 = single-device")
+    p.add_argument("--space_halo", type=int, default=48,
+                   help="halo rows per shard side (must cover the reg U-Net "
+                        "receptive field; default is exactness-tested)")
     return p
 
 
@@ -146,7 +154,12 @@ def main(argv=None):
         variables = None
         # one jitted forward for ALL scenes: shapes sharing a bucket share
         # one (minutes-long, remote-tunnel) compile
-        forward = make_eval_forward(model)
+        mesh = None
+        if args.space > 1:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(jax.devices()[: args.space], space=args.space)
+        forward = make_eval_forward(model, mesh, space_halo=args.space_halo)
         for scene in testlist:
             ds = DS(
                 datapath=args.datapath, resolution=args.data_resolution,

@@ -58,33 +58,62 @@ def device_peak_memory_gb() -> float | None:
     return None if peak is None else peak / 1024.0**3
 
 
-def make_eval_forward(model):
+def make_eval_forward(model, mesh=None, *, space_halo: int = 48):
     """Jitted eval forward for depth-map generation. Build this ONCE and pass
     it to every ``generate_depth_maps`` call of a run: jit's compile cache
     lives on the returned callable, so scenes sharing a shape share one
     compile (the remote-compile tunnel here costs minutes per program —
-    SURVEY.md §7 recompile risk)."""
+    SURVEY.md §7 recompile risk).
+
+    ``mesh``: a ``(data, space)`` Mesh — batch shards over ``data`` and the
+    cost-volume pipeline row-shards over ``space`` via the model's
+    halo-windowed decomposition (models/mvs4net.py ``space_axis``; the
+    spatial-parallel high-res eval path, SURVEY.md §5.7)."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
+    n_space = int(mesh.shape["space"]) if mesh is not None else 1
+
     def forward(variables, imgs, projs, dv):
-        out = model.apply(variables, imgs, projs, dv, train=False)
+        kw = (
+            dict(space_axis="space", space_shards=n_space, space_halo=space_halo)
+            if n_space > 1
+            else {}
+        )
+        out = model.apply(variables, imgs, projs, dv, train=False, **kw)
         res = {
             "depth": out["stage4"]["depth"],
             "confidence": out["stage4"]["photometric_confidence"],
             "stage_depths": [out[f"stage{s}"]["depth"] for s in (1, 2, 3, 4)],
         }
-        if "mono_feat" in out.get("stage2", {}):
-            # channel 4 of the per-stage ref features, saved by --save_jpg
-            # --mono in the reference (test_mvs4.py:474-489)
+        # channel 4 of the per-stage ref features, saved by --save_jpg --mono
+        # in the reference (test_mvs4.py:474-489); absent for row-sharded
+        # stages (eval never consumes the features there)
+        if all("mono_feat" in out.get(f"stage{s}", {}) for s in (2, 3, 4)):
             res["mono_feats"] = [
                 out[f"stage{s}"]["mono_feat"][..., 4].astype(jnp.float32)
                 for s in (2, 3, 4)
             ]
         return res
 
-    return forward
+    if mesh is None:
+        return jax.jit(forward)
+
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        forward,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P("data"),
+            {f"stage{i}": P("data") for i in range(1, 5)},
+            P("data"),
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def _bucket_hw(h: int, w: int, bucket, max_hw) -> Tuple[int, int]:

@@ -130,3 +130,41 @@ def test_eval_shape_bucketing_shares_one_compile(tmp_path):
     # additionally tie-flips, so no numeric agreement is asserted here)
     for d in (d_small, d_big):
         assert np.isfinite(d).all() and (d > 0).all()
+
+
+def test_make_eval_forward_space_mesh_matches():
+    """make_eval_forward with a (data=1, space=2) mesh (the --space eval-CLI
+    path) returns the same artifact dict as the single-device forward at a
+    shape where stage4 genuinely row-shards."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.eval.depthgen import (
+        make_eval_forward,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.parallel import (
+        make_mesh,
+    )
+
+    cfg = ModelConfig(group_cor=True, group_cor_dim=(8, 8, 4, 4),
+                      inverse_depth=True, remat=False)
+    model = MVS4Net(cfg)
+    ds = SyntheticEvalDataset(V=2, H=256, W=256, scan="scanS")
+    s0 = ds[0]
+    args = (
+        s0["imgs"][None],
+        {k: v[None] for k, v in s0["proj_matrices"].items()},
+        s0["depth_values"][None],
+    )
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+
+    ref = make_eval_forward(model)(variables, *args)
+    mesh = make_mesh(jax.devices()[:2], space=2)
+    got = make_eval_forward(model, mesh)(variables, *args)
+
+    d_ref, d_got = np.asarray(ref["depth"]), np.asarray(got["depth"])
+    agree = np.isclose(d_got, d_ref, rtol=1e-4, atol=1e-2).mean()
+    assert agree > 0.999, agree
+    np.testing.assert_allclose(
+        np.asarray(got["confidence"]), np.asarray(ref["confidence"]),
+        rtol=1e-3, atol=1e-3,
+    )
+    for a, b in zip(got["stage_depths"], ref["stage_depths"]):
+        assert np.isclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-2).mean() > 0.999
