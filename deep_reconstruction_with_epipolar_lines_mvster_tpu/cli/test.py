@@ -89,8 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 eval compute (accuracy-neutral on trained "
                         "nets and ~21%% faster on TPU — BENCH_NOTES.md; "
                         "default f32 matches the reference)")
-    p.add_argument("--warp_impl", type=str, default="mxu_hybrid",
-                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"])
+    p.add_argument("--warp_impl", type=str, default=None,
+                   choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"],
+                   help="default auto: mxu_v3 on TPU, mxu_hybrid on CPU")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)

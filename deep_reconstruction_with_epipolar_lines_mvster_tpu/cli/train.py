@@ -80,9 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_temp", type=float, default=2)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for the conv path")
-    p.add_argument("--warp_impl", type=str, default="mxu_hybrid",
+    p.add_argument("--warp_impl", type=str, default=None,
                    choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"],
-                   help="homography-warp implementation (ops/warp_mxu.py)")
+                   help="homography-warp implementation (ops/warp_mxu.py). "
+                        "Default auto: mxu_v3 (flipped-layout Pallas fwd + "
+                        "x-banded Pallas bwd, fastest measured on v5e) on "
+                        "TPU, mxu_hybrid on CPU (native XLA scan fwd)")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
@@ -121,14 +124,18 @@ def make_model_config(args):
 
     pack = getattr(args, "pack_conv", None)
     fused_td = getattr(args, "fused_topdown", None)
-    if pack is None or fused_td is None:
-        # auto: packed/fused execution wins on TPU (lane fill, HBM-traffic
-        # fusion), loses on CPU (k-fold FLOP inflation; interpret mode)
+    warp_impl = getattr(args, "warp_impl", None)
+    if pack is None or fused_td is None or warp_impl is None:
+        # auto: packed/fused/Pallas execution wins on TPU (lane fill,
+        # HBM-traffic fusion), loses on CPU (k-fold FLOP inflation;
+        # interpret mode)
         import jax
 
         on_tpu = jax.default_backend() not in ("cpu",)
         pack = on_tpu if pack is None else pack
         fused_td = on_tpu if fused_td is None else fused_td
+        if warp_impl is None:
+            warp_impl = "mxu_v3" if on_tpu else "mxu_hybrid"
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),
@@ -149,7 +156,7 @@ def make_model_config(args):
         attn_temp=args.attn_temp,
         dtype="bfloat16" if args.bf16 else "float32",
         remat=not getattr(args, "no_remat", False),
-        warp_impl=args.warp_impl,
+        warp_impl=warp_impl,
         warp_band=args.warp_band,
         warp_tile_rows=args.warp_tile_rows,
         warp_xband=args.warp_xband,

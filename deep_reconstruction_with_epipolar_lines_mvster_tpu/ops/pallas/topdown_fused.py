@@ -78,7 +78,8 @@ def _w_matrices(W: int, Wh: int, dtype):
 
 def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
             mw_ref, out_ref, w_intra, w_c0, u_scr, sem1, sem2,
-            *, TR: int, H: int, Hh: int, Wh: int, Ci: int, Cs: int, Co: int):
+            *, TR: int, H: int, Hh: int, Wh: int, Ci: int, Cs: int, Co: int,
+            w_real: int):
     n = pl.program_id(0)
     t = pl.program_id(1)
     r0 = t * TR
@@ -120,10 +121,12 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
         # the shifted u reads column w+dx-1; out-of-range columns are the
         # 3x3 conv's ZERO pad — in particular they must not carry the 1x1
         # bias, so mask the border column of this dx variant
+        # masks use the REAL width (lanes >= w_real are 128-alignment
+        # padding; they only feed cropped output columns)
         if dx == 0:
             colmask = (lane >= 1).astype(jnp.float32)
         elif dx == 2:
-            colmask = (lane < W - 1).astype(jnp.float32)
+            colmask = (lane < w_real - 1).astype(jnp.float32)
         else:
             colmask = None
         # 1x1 skip projection for all rows, one matmul per row PAIR
@@ -240,10 +243,19 @@ def _run_kernel(
     dt = intra.dtype
 
     hidx, hfrac = _h_tables(H, Hh)
-    mw = jnp.asarray(_w_matrices(W, Wh, np.float32)).astype(dt)  # [3, Wh, W]
+    # Mosaic requires manual HBM DMA slices to have 128-aligned lane
+    # extents: zero-pad both widths up (padded intra columns carry zero
+    # resize weight; padded skip/output columns are cropped below).
+    Wp = -(-W // 128) * 128
+    Whp = -(-Wh // 128) * 128
+    mw = _w_matrices(W, Wh, np.float32)                          # [3, Wh, W]
+    mw = np.pad(mw, ((0, 0), (0, Whp - Wh), (0, Wp - W)))
+    mw = jnp.asarray(mw).astype(dt)                              # [3,Whp,Wp]
 
     # channels -> sublanes; merge (row, channel)
     intra_t = jnp.swapaxes(intra, 2, 3).reshape(N, Hh * Ci, Wh)
+    if Whp != Wh:
+        intra_t = jnp.pad(intra_t, ((0, 0), (0, 0), (0, Whp - Wh)))
     # skip: 3 dx shifts, one zero row top+bottom, channels to sublanes:
     # [N, 3, (H+2)*Cs, W]
     sk_t = jnp.swapaxes(skip, 2, 3)  # [N, H, Cs, W]
@@ -259,6 +271,8 @@ def _run_kernel(
             s = sk_pad
         shifts.append(s.reshape(N, (H + 2) * Cs, W))
     c0 = jnp.stack(shifts, axis=1)  # [N, 3, (H+2)*Cs, W]
+    if Wp != W:
+        c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
 
     wi_t = jnp.transpose(wi[0, 0], (1, 0))          # [Ci, Cs]
     wo_t = jnp.transpose(wo, (0, 1, 3, 2)).reshape(9, Co, Ci)
@@ -285,31 +299,32 @@ def _run_kernel(
                 memory_space=pltpu.VMEM,
             ),                                                  # wo_t
             pl.BlockSpec(
-                (3, Wh, W), lambda n, t, *_: (0, 0, 0),
+                (3, Whp, Wp), lambda n, t, *_: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),                                                  # mw
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_rows, Co, W), lambda n, t, *_: (n, t, 0, 0),
+            (1, tile_rows, Co, Wp), lambda n, t, *_: (n, t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((HWIN * Ci, Wh), dt),
-            pltpu.VMEM((3, NROW * Cs, W), dt),
-            pltpu.VMEM((3 * NROW * Ci, W), dt),
+            pltpu.VMEM((HWIN * Ci, Whp), dt),
+            pltpu.VMEM((3, NROW * Cs, Wp), dt),
+            pltpu.VMEM((3 * NROW * Ci, Wp), dt),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, TR=tile_rows, H=H, Hh=Hh, Wh=Wh, Ci=Ci, Cs=Cs, Co=Co
+            _kernel, TR=tile_rows, H=H, Hh=Hh, Wh=Wh, Ci=Ci, Cs=Cs, Co=Co,
+            w_real=W,
         ),
-        out_shape=jax.ShapeDtypeStruct((N, T * tile_rows, Co, W), dt),
+        out_shape=jax.ShapeDtypeStruct((N, T * tile_rows, Co, Wp), dt),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         jnp.asarray(hidx), jnp.asarray(hfrac),
         intra_t, c0, wi_t.astype(dt), bi_c, wo_t.astype(dt), mw,
     )
-    return jnp.swapaxes(out, 2, 3)  # [N, H, W, Co]
+    return jnp.swapaxes(out, 2, 3)[:, :, :W]  # [N, H, W, Co]

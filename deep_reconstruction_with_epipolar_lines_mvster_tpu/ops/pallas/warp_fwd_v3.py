@@ -57,7 +57,8 @@ def _kernel(starts_ref, x_ref, y_ref, src_hc_ref, out_ref, rt_vmem, sem,
     y0f = y0.astype(jnp.float32)
 
     # sublane iotas shared across rows
-    js = jax.lax.broadcasted_iota(jnp.float32, (Ws, W), 0)          # j index
+    # Mosaic only supports integer iota; cast to f32 after.
+    js = jax.lax.broadcasted_iota(jnp.int32, (Ws, W), 0).astype(jnp.float32)
     kidx = (
         jax.lax.broadcasted_iota(jnp.int32, (band * C, W), 0) // C
     ).astype(jnp.float32)                                           # k index
@@ -108,7 +109,9 @@ def _kernel_xchunk(starts_ref, xstarts_ref, x_ref, y_ref, src_hc_ref, out_ref,
     G = W // chunk
     y0f = y0.astype(jnp.float32)
 
-    js = jax.lax.broadcasted_iota(jnp.float32, (xwin, chunk), 0)
+    js = jax.lax.broadcasted_iota(jnp.int32, (xwin, chunk), 0).astype(
+        jnp.float32
+    )
     kidx = (
         jax.lax.broadcasted_iota(jnp.int32, (band * C, chunk), 0) // C
     ).astype(jnp.float32)

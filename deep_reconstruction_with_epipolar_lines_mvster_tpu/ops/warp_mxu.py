@@ -406,6 +406,16 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
     B, Hs, Ws, C = src.shape
     _, D, H, W, _ = coords.shape
     align_y = _v3_align_y(C, src.dtype)
+    # Mosaic requires the HBM band-DMA slice's lane extent (Ws) to be a
+    # multiple of the 128-lane tiling; zero-pad the source width. Exact:
+    # padded columns carry zero data, and any interpolation tap that lands
+    # on them reproduces the warp's zeros-padding semantics.
+    Ws_pad = -(-Ws // 128) * 128
+    src_k = (
+        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
+        if Ws_pad != Ws
+        else src
+    )
     # widen the band by the alignment so flooring the start never drops
     # coverage at the far edge (same precedent as the xband plan's band_al);
     # (band + align_y)*C stays a 16-sublane multiple by construction
@@ -422,14 +432,14 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
     chunk = 128
     xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
     kw = {}
-    if xwin and Ws >= xwin and W % chunk == 0:
+    if xwin and Ws_pad >= xwin and W % chunk == 0:
         G = W // chunk
         xmin = xg.reshape(B, N, tile_rows, G, chunk).min(axis=(2, 4))
         x0 = ((jnp.floor(xmin).astype(jnp.int32) - 1) // chunk) * chunk
-        x0 = jnp.clip(x0, 0, max((Ws - xwin) // chunk * chunk, 0))
+        x0 = jnp.clip(x0, 0, max((Ws_pad - xwin) // chunk * chunk, 0))
         kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
     out = warp_tiles_pallas_v3(
-        src, xg, yg, starts.astype(jnp.int32),
+        src_k, xg, yg, starts.astype(jnp.int32),
         band=band_k, align_y=align_y, interpret=interpret, **kw,
     )  # [B, N, TR, C, W]
     T = H // tile_rows
