@@ -134,7 +134,7 @@ def main(argv=None):
     from ..train import load_weights
     from .train import make_model_config
 
-    mcfg = make_model_config(args)
+    mcfg = make_model_config(args, mode="eval")
     model = MVS4Net(mcfg)
 
     testlist = read_scan_list(args.testlist) if args.testlist else [""]

@@ -83,9 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_impl", type=str, default=None,
                    choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"],
                    help="homography-warp implementation (ops/warp_mxu.py). "
-                        "Default auto: mxu_v3 (flipped-layout Pallas fwd + "
-                        "x-banded Pallas bwd, fastest measured on v5e) on "
-                        "TPU, mxu_hybrid on CPU (native XLA scan fwd)")
+                        "Default auto: mxu_hybrid for training (XLA scan "
+                        "fwd + x-banded Pallas bwd — the Pallas-fwd v3's "
+                        "custom_vjp boundary forces padded residual "
+                        "layouts under grad), mxu_v3 for eval on TPU")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
@@ -119,7 +120,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def make_model_config(args):
+def make_model_config(args, mode="train"):
     from ..config import ModelConfig, parse_float_list, parse_int_list
 
     pack = getattr(args, "pack_conv", None)
@@ -135,7 +136,14 @@ def make_model_config(args):
         pack = on_tpu if pack is None else pack
         fused_td = on_tpu if fused_td is None else fused_td
         if warp_impl is None:
-            warp_impl = "mxu_v3" if on_tpu else "mxu_hybrid"
+            # mxu_v3 is the fastest measured EVAL warp, but under grad the
+            # Pallas custom_vjp boundary forces autodiff residuals into
+            # padded layouts ([...,C=8]-minor saved warps, [...,2] group
+            # slices -> 16-64x HBM padding, OOM at the DTU recipe shape —
+            # BENCH_NOTES round 3), so training keeps the hybrid scan
+            # forward whose residuals XLA lays out unpadded.
+            tpu_impl = "mxu_v3" if mode == "eval" else "mxu_hybrid"
+            warp_impl = tpu_impl if on_tpu else "mxu_hybrid"
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),

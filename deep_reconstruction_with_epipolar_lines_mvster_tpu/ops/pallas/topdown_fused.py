@@ -14,10 +14,12 @@ build everything in VMEM, write only `o` (~84 MB).
 Layout/technique notes (same playbook as ops/pallas/warp_fwd_v3):
 - everything lives CHANNELS-IN-SUBLANES (``[C, W]`` per row); the caller
   pre-transposes inputs once in XLA and transposes `o` back.
-- the align-corners x2 W-resize is a static banded matrix; the 3x3 conv's
-  dx in {-1,0,1} taps are folded into THREE variants of that matrix and
-  three pre-shifted copies of the skip tensor — the kernel contains no
-  cross-lane shifts at all.
+- the align-corners x2 W-resize is a static banded matrix, applied ONCE
+  per row; the 3x3 conv's dx in {-1,0,1} column taps are derived from the
+  center result with static +-1 lane rolls (``pltpu.roll``) + border
+  masks. (The first version folded the taps into THREE variants of the
+  resize matrix — 3x the dominant matmul FLOPs and 3x the skip DMA; the
+  roll-based form measured 13.3 -> see BENCH_NOTES round 3.)
 - the H-resize taps/fractions are integer/float tables indexed by output
   row (scalar-prefetch), exactly matching core.geometry.resize_align_corners.
 - the 1x1 skip projection runs as one matmul per ROW-PAIR with a 2-block
@@ -57,23 +59,18 @@ def _h_tables(H: int, Hh: int):
     return idx, frac
 
 
-def _w_matrices(W: int, Wh: int, dtype):
-    """Three W-resize matrices [Wh, W]: MwT_dx[v, w] = Mw[w+dx-1, v]
-    (align-corners x2 taps, zero outside [0, W))."""
+def _w_matrix(W: int, Wh: int, dtype):
+    """W-resize matrix [Wh, W]: MwT[v, w] = Mw[w, v] (align-corners x2
+    taps). The 3x3 conv's dx in {-1,0,1} column taps are NOT folded in —
+    the kernel derives them from the center result with static +-1 lane
+    rolls (pltpu.roll), which cuts the dominant resize matmul 3x."""
     p = np.arange(W, dtype=np.float64) * (Wh - 1) / (W - 1)
     i0 = np.minimum(np.floor(p).astype(np.int64), Wh - 2)
     fr = p - i0
     Mw = np.zeros((W, Wh), np.float32)
     Mw[np.arange(W), i0] = 1.0 - fr
     Mw[np.arange(W), i0 + 1] = fr
-    out = np.zeros((3, Wh, W), np.float32)
-    for dx in range(3):
-        sh = np.zeros((W, Wh), np.float32)  # rows: w -> Mw[w+dx-1]
-        src = np.arange(W) + dx - 1
-        ok = (src >= 0) & (src < W)
-        sh[ok] = Mw[src[ok]]
-        out[dx] = sh.T
-    return out.astype(dtype)
+    return Mw.T.astype(dtype)
 
 
 def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
@@ -93,10 +90,9 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
         w_intra, sem1,
     )
     cp1.start()
-    # skip window: rows r0-1 .. r0+TR in padded coords = r0 .. r0+NROW-1,
-    # all 3 dx variants stacked in the second axis of c0_ref
+    # skip window: rows r0-1 .. r0+TR in padded coords = r0 .. r0+NROW-1
     cp2 = pltpu.make_async_copy(
-        c0_ref.at[n, :, pl.ds(pl.multiple_of(r0 * Cs, TR * Cs), NROW * Cs)],
+        c0_ref.at[n, pl.ds(pl.multiple_of(r0 * Cs, TR * Cs), NROW * Cs)],
         w_c0, sem2,
     )
     cp2.start()
@@ -116,62 +112,63 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
     cp2.wait()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    for dx in range(3):
-        mw = mw_ref[dx]       # [Wh, W]
-        # the shifted u reads column w+dx-1; out-of-range columns are the
-        # 3x3 conv's ZERO pad — in particular they must not carry the 1x1
-        # bias, so mask the border column of this dx variant
-        # masks use the REAL width (lanes >= w_real are 128-alignment
-        # padding; they only feed cropped output columns)
-        if dx == 0:
-            colmask = (lane >= 1).astype(jnp.float32)
-        elif dx == 2:
-            colmask = (lane < w_real - 1).astype(jnp.float32)
-        else:
-            colmask = None
-        # 1x1 skip projection for all rows, one matmul per row PAIR
-        for pair in range(NROW // 2):
-            seg = w_c0[dx, pl.ds(2 * pair * Cs, 2 * Cs), :]  # [2Cs, W]
-            i3 = jax.lax.dot_general(
-                bd2.astype(seg.dtype), seg,
+    # the dx={0,2} conv-tap variants read column w-1 / w+1 of the center
+    # result; out-of-range columns are the 3x3 conv's ZERO pad — in
+    # particular they must not carry the 1x1 bias. Masks use the REAL
+    # width (lanes >= w_real are 128-alignment padding; they only feed
+    # cropped output columns).
+    mask_l = (lane >= 1).astype(jnp.float32)
+    mask_r = (lane < w_real - 1).astype(jnp.float32)
+    mw = mw_ref[:]            # [Whp, W]
+    # 1x1 skip projection for all rows, one matmul per row PAIR
+    for pair in range(NROW // 2):
+        seg = w_c0[pl.ds(2 * pair * Cs, 2 * Cs), :]          # [2Cs, W]
+        i3 = jax.lax.dot_general(
+            bd2.astype(seg.dtype), seg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [2Ci, W]
+        for half in range(2):
+            row = 2 * pair + half
+            g = r0 - 1 + row
+            gc = jnp.clip(g, 0, H - 1)
+            hi = jnp.minimum(hidx_ref[gc] - h0, HWIN - 2)
+            a = hfrac_ref[gc]
+            r_lo = w_intra[pl.ds(hi * Ci, Ci), :].astype(jnp.float32)
+            r_hi = w_intra[pl.ds((hi + 1) * Ci, Ci), :].astype(jnp.float32)
+            blend = (1.0 - a) * r_lo + a * r_hi              # [Ci, Wh]
+            up = jax.lax.dot_general(
+                blend.astype(mw.dtype), mw,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                                # [2Ci, W]
-            for half in range(2):
-                row = 2 * pair + half
-                g = r0 - 1 + row
-                gc = jnp.clip(g, 0, H - 1)
-                hi = jnp.minimum(hidx_ref[gc] - h0, HWIN - 2)
-                a = hfrac_ref[gc]
-                r_lo = w_intra[pl.ds(hi * Ci, Ci), :].astype(jnp.float32)
-                r_hi = w_intra[pl.ds((hi + 1) * Ci, Ci), :].astype(jnp.float32)
-                blend = (1.0 - a) * r_lo + a * r_hi          # [Ci, Wh]
-                up = jax.lax.dot_general(
-                    blend.astype(mw.dtype), mw,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                            # [Ci, W]
-                u = up + i3[half * Ci : (half + 1) * Ci, :] + bi
-                if colmask is not None:
-                    u = u * colmask
-                mask = jnp.logical_and(g >= 0, g < H).astype(jnp.float32)
-                u_scr[pl.ds((dx * NROW + row) * Ci, Ci), :] = (
-                    (u * mask).astype(u_scr.dtype)
-                )
+            )                                                # [Ci, W]
+            mask = jnp.logical_and(g >= 0, g < H).astype(jnp.float32)
+            u = (up + i3[half * Ci : (half + 1) * Ci, :] + bi) * mask
+            # dx variants from the center row by static lane rolls;
+            # roll(+1)[w] = u[w-1] (dx=0), roll(-1)[w] = u[w+1] (dx=2).
+            # Scratch layout interleaves dx WITHIN each row —
+            # (row*3 + dx)*Ci — so an output row's nine (dy, dx) taps are
+            # one contiguous 9*Ci-sublane slice (single matmul below).
+            u_scr[pl.ds((row * 3 + 1) * Ci, Ci), :] = u.astype(
+                u_scr.dtype
+            )
+            u_scr[pl.ds((row * 3 + 0) * Ci, Ci), :] = (
+                pltpu.roll(u, 1, 1) * mask_l
+            ).astype(u_scr.dtype)
+            u_scr[pl.ds((row * 3 + 2) * Ci, Ci), :] = (
+                pltpu.roll(u, W - 1, 1) * mask_r  # roll by -1 (must be >=0)
+            ).astype(u_scr.dtype)
 
+    # one [Co, 9*Ci] @ [9*Ci, W] matmul per output row (vs 9 M=Co-sublane
+    # matmuls — 1/16 MXU fill made the output conv the kernel's bottleneck)
+    wk = wo_ref[:]                                           # [Co, 9*Ci]
     for j in range(TR):
-        acc = jnp.zeros((Co, W), jnp.float32)
-        for dy in range(3):
-            row = j + dy
-            for dx in range(3):
-                wo = wo_ref[3 * dy + dx]                     # [Co, Ci]
-                useg = u_scr[pl.ds((dx * NROW + row) * Ci, Ci), :]
-                acc = acc + jax.lax.dot_general(
-                    wo.astype(useg.dtype), useg,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        out_ref[0, j] = acc.astype(out_ref.dtype)
+        useg = u_scr[pl.ds(3 * j * Ci, 9 * Ci), :]           # rows j..j+2
+        out_ref[0, j] = jax.lax.dot_general(
+            wk.astype(useg.dtype), useg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
 
 def _unfused_chain(intra, skip, wi, bi, wo):
@@ -248,34 +245,26 @@ def _run_kernel(
     # resize weight; padded skip/output columns are cropped below).
     Wp = -(-W // 128) * 128
     Whp = -(-Wh // 128) * 128
-    mw = _w_matrices(W, Wh, np.float32)                          # [3, Wh, W]
-    mw = np.pad(mw, ((0, 0), (0, Whp - Wh), (0, Wp - W)))
-    mw = jnp.asarray(mw).astype(dt)                              # [3,Whp,Wp]
+    mw = _w_matrix(W, Wh, np.float32)                            # [Wh, W]
+    mw = np.pad(mw, ((0, Whp - Wh), (0, Wp - W)))
+    mw = jnp.asarray(mw).astype(dt)                              # [Whp, Wp]
 
     # channels -> sublanes; merge (row, channel)
     intra_t = jnp.swapaxes(intra, 2, 3).reshape(N, Hh * Ci, Wh)
     if Whp != Wh:
         intra_t = jnp.pad(intra_t, ((0, 0), (0, 0), (0, Whp - Wh)))
-    # skip: 3 dx shifts, one zero row top+bottom, channels to sublanes:
-    # [N, 3, (H+2)*Cs, W]
+    # skip: one zero row top+bottom, channels to sublanes (no dx shifts —
+    # the kernel derives the conv's column taps with lane rolls):
+    # [N, (H+2)*Cs, Wp]
     sk_t = jnp.swapaxes(skip, 2, 3)  # [N, H, Cs, W]
     sk_pad = jnp.pad(sk_t, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    shifts = []
-    for dx in range(3):
-        off = dx - 1
-        if off < 0:
-            s = jnp.pad(sk_pad[..., :off], ((0, 0),) * 3 + ((-off, 0),))
-        elif off > 0:
-            s = jnp.pad(sk_pad[..., off:], ((0, 0),) * 3 + ((0, off),))
-        else:
-            s = sk_pad
-        shifts.append(s.reshape(N, (H + 2) * Cs, W))
-    c0 = jnp.stack(shifts, axis=1)  # [N, 3, (H+2)*Cs, W]
+    c0 = sk_pad.reshape(N, (H + 2) * Cs, W)
     if Wp != W:
-        c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+        c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, Wp - W)))
 
     wi_t = jnp.transpose(wi[0, 0], (1, 0))          # [Ci, Cs]
-    wo_t = jnp.transpose(wo, (0, 1, 3, 2)).reshape(9, Co, Ci)
+    # [Co, 9*Ci], (dy, dx) outer-to-inner — matches the u_scr interleave
+    wo_t = jnp.transpose(wo, (3, 0, 1, 2)).reshape(Co, 9 * Ci)
     bi_c = bi.reshape(Ci, 1).astype(jnp.float32)
 
     T = H // tile_rows
@@ -295,11 +284,11 @@ def _run_kernel(
                 memory_space=pltpu.VMEM,
             ),                                                  # bi
             pl.BlockSpec(
-                (9, Co, Ci), lambda n, t, *_: (0, 0, 0),
+                (Co, 9 * Ci), lambda n, t, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),                                                  # wo_t
             pl.BlockSpec(
-                (3, Whp, Wp), lambda n, t, *_: (0, 0, 0),
+                (Whp, Wp), lambda n, t, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),                                                  # mw
         ],
@@ -309,7 +298,7 @@ def _run_kernel(
         ),
         scratch_shapes=[
             pltpu.VMEM((HWIN * Ci, Whp), dt),
-            pltpu.VMEM((3, NROW * Cs, Wp), dt),
+            pltpu.VMEM((NROW * Cs, Wp), dt),
             pltpu.VMEM((3 * NROW * Ci, Wp), dt),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
