@@ -164,57 +164,78 @@ class _TopDown(nn.Module):
     def __call__(self, conv0, conv1, conv2, conv3, *, train: bool):
         b = self.base
         final = 8 * b
-        fused = (
-            self.fuse_final
-            and final == 64
-            # kernel geometry: 8 | H row tiles, H = 2*Hh with Hh >= HWIN=8,
-            # W = 2*Wh exactly (even)
-            and conv0.shape[1] % 8 == 0
-            and conv0.shape[1] >= 16
-            and conv0.shape[2] % 2 == 0
-        )
-        inner1 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
-                         name="Conv_0")
-        inner2 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
-                         name="Conv_1")
-        if fused:
-            inner3 = _ConvParams((1, 1, conv0.shape[-1], final), name="Conv_2")
-        else:
-            inner3 = nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
-                             name="Conv_2")
+
+        def lvl_fusable(skip_t, hh, wh):
+            # kernel geometry: 8 | H row tiles, H = 2*Hh exactly with
+            # Hh >= HWIN2=6, W = 2*Wh exactly; 16-sublane-aligned row-pair
+            # 1x1 segments (2*Cs) and intra slices (Ci=final)
+            return (
+                self.fuse_final
+                and final == 64
+                and skip_t.shape[1] % 8 == 0
+                and skip_t.shape[1] >= 16
+                and skip_t.shape[1] == 2 * hh
+                and skip_t.shape[2] == 2 * wh
+                and (2 * skip_t.shape[-1]) % 16 == 0
+            )
+
+        fz2 = lvl_fusable(conv2, conv3.shape[1], conv3.shape[2])
+        fz3 = lvl_fusable(conv1, conv2.shape[1], conv2.shape[2])
+        fz4 = lvl_fusable(conv0, conv1.shape[1], conv1.shape[2])
+
+        def mk_inner(name, skip_t, fz):
+            if fz:
+                return _ConvParams((1, 1, skip_t.shape[-1], final), name=name)
+            return nn.Conv(final, (1, 1), use_bias=True, dtype=self.dtype,
+                           name=name)
+
+        def mk_out(name, ch, fz):
+            if fz:
+                return _ConvParams((3, 3, final, ch), use_bias=False,
+                                   name=name)
+            return nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                           dtype=self.dtype, name=name)
+
+        inner1 = mk_inner("Conv_0", conv2, fz2)
+        inner2 = mk_inner("Conv_1", conv1, fz3)
+        inner3 = mk_inner("Conv_2", conv0, fz4)
         out1 = nn.Conv(8 * b, (1, 1), use_bias=False, dtype=self.dtype,
                        name="Conv_3")
-        out2 = nn.Conv(4 * b, (3, 3), padding="SAME", use_bias=False,
-                       dtype=self.dtype, name="Conv_4")
-        out3 = nn.Conv(2 * b, (3, 3), padding="SAME", use_bias=False,
-                       dtype=self.dtype, name="Conv_5")
-        if fused:
-            out4 = _ConvParams((3, 3, final, b), use_bias=False, name="Conv_6")
-        else:
-            out4 = nn.Conv(b, (3, 3), padding="SAME", use_bias=False,
-                           dtype=self.dtype, name="Conv_6")
+        out2 = mk_out("Conv_4", 4 * b, fz2)
+        out3 = mk_out("Conv_5", 2 * b, fz3)
+        out4 = mk_out("Conv_6", b, fz4)
 
         def up2(x):
             H, W = x.shape[1:3]
             return resize_align_corners(x, (2 * H, 2 * W))
 
-        intra = conv3
-        o1 = out1(intra)
-        intra = up2(intra) + inner1(conv2)
-        o2 = out2(intra)
-        intra = up2(intra) + inner2(conv1)
-        o3 = out3(intra)
-        if fused:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+        def fused_level(intra, skip_t, inner, out, with_u):
             from ..ops.pallas.topdown_fused import topdown_fused_level
 
-            ki, bi = inner3()
-            ko, _ = out4()
-            o4 = topdown_fused_level(
-                intra.astype(self.dtype),
-                conv0.astype(self.dtype),
+            ki, bi = inner()
+            ko, _ = out()
+            return topdown_fused_level(
+                intra.astype(self.dtype), skip_t.astype(self.dtype),
                 ki.astype(self.dtype), bi, ko.astype(self.dtype),
-                interpret=jax.default_backend() not in ("tpu", "axon"),
+                interpret=interpret, with_u=with_u,
             )
+
+        intra = conv3
+        o1 = out1(intra)
+        if fz2:
+            o2, intra = fused_level(intra, conv2, inner1, out2, True)
+        else:
+            intra = up2(intra) + inner1(conv2)
+            o2 = out2(intra)
+        if fz3:
+            o3, intra = fused_level(intra, conv1, inner2, out3, True)
+        else:
+            intra = up2(intra) + inner2(conv1)
+            o3 = out3(intra)
+        if fz4:
+            o4 = fused_level(intra, conv0, inner3, out4, False)
         else:
             intra = up2(intra) + inner3(conv0)
             o4 = out4(intra)

@@ -18,8 +18,14 @@ Layout/technique notes (same playbook as ops/pallas/warp_fwd_v3):
   per row; the 3x3 conv's dx in {-1,0,1} column taps are derived from the
   center result with static +-1 lane rolls (``pltpu.roll``) + border
   masks. (The first version folded the taps into THREE variants of the
-  resize matrix — 3x the dominant matmul FLOPs and 3x the skip DMA; the
-  roll-based form measured 13.3 -> see BENCH_NOTES round 3.)
+  resize matrix — 3x the dominant matmul FLOPs and 3x the skip DMA — and
+  measured 13.3 ms at the bench L4 shape; this roll-based form measures
+  7.0 ms on chip: _probe_td2.out / BENCH_NOTES rounds 3-4.)
+- mode='v4' additionally hoists the W-resize OUT of the kernel into one
+  whole-tensor XLA matmul (every half-res row resized exactly once instead
+  of once per blended output row — a further ~2.5x cut of the dominant
+  matmul), leaving the per-row kernel work as VPU blend + 1x1 skip + rolls
+  + the 3x3 output matmul.
 - the H-resize taps/fractions are integer/float tables indexed by output
   row (scalar-prefetch), exactly matching core.geometry.resize_align_corners.
 - the 1x1 skip projection runs as one matmul per ROW-PAIR with a 2-block
@@ -171,6 +177,236 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
         ).astype(out_ref.dtype)
 
 
+HWIN2 = 6  # pre-resized intra window (rows hi(r0-1)..hi(r0+TR)+1 span <= 6)
+
+
+def _kernel_v4(hidx_ref, hfrac_ref, intraw_ref, c0_ref, wi_ref, bi_ref,
+               wo_ref, *refs,
+               TR: int, H: int, Hh: int, Ci: int, Cs: int, Co: int,
+               w_real: int, merged: bool = False, with_u: bool = False):
+    """v4 slim kernel: identical to ``_kernel`` except the W-resize happened
+    OUTSIDE (one large XLA matmul over the whole ``intra`` tensor — each
+    half-res row resized exactly once instead of once per blended output row,
+    a ~2.5x cut of the dominant matmul) so the per-row work is just the
+    H-blend (VPU) + 1x1 skip + bias + dx rolls + the 3x3 output matmul.
+
+    ``merged`` (mode v5): the TR per-row output matmuls run at M=Co (8
+    sublanes of 128 — 1/16 MXU fill; ~200 128^3 tile-ops per 8-row tile at
+    the L4 shape). Instead, ONE matmul [TR*Co, 3*NROW*Ci] @ [3*NROW*Ci, W]
+    whose LHS is ``wo`` block-SHIFTED per output row (row j's 9*Ci taps sit
+    at K offset 3*j*Ci; zero elsewhere — built statically by the launcher)
+    computes every row at once: ~75 tile-ops for the same math."""
+    if with_u:
+        out_ref, u_out_ref, w_intra, w_c0, u_scr, sem1, sem2 = refs
+    else:
+        out_ref, w_intra, w_c0, u_scr, sem1, sem2 = refs
+        u_out_ref = None
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+    r0 = t * TR
+    NROW = TR + 2
+    W = out_ref.shape[3]
+
+    h0 = jnp.minimum(hidx_ref[jnp.maximum(r0 - 1, 0)], Hh - HWIN2)
+    cp1 = pltpu.make_async_copy(
+        intraw_ref.at[n, pl.ds(pl.multiple_of(h0 * Ci, Ci), HWIN2 * Ci)],
+        w_intra, sem1,
+    )
+    cp1.start()
+    cp2 = pltpu.make_async_copy(
+        c0_ref.at[n, pl.ds(pl.multiple_of(r0 * Cs, TR * Cs), NROW * Cs)],
+        w_c0, sem2,
+    )
+    cp2.start()
+
+    wi_t = wi_ref[:]          # [Ci, Cs]
+    bi = bi_ref[:]            # [Ci, 1]
+    zcs = jnp.zeros_like(wi_t)
+    bd2 = jnp.concatenate(
+        [
+            jnp.concatenate([wi_t, zcs], axis=1),
+            jnp.concatenate([zcs, wi_t], axis=1),
+        ],
+        axis=0,
+    )                         # [2*Ci, 2*Cs]
+
+    cp1.wait()
+    cp2.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    mask_l = (lane >= 1).astype(jnp.float32)
+    mask_r = (lane < w_real - 1).astype(jnp.float32)
+    for pair in range(NROW // 2):
+        seg = w_c0[pl.ds(2 * pair * Cs, 2 * Cs), :]          # [2Cs, W]
+        i3 = jax.lax.dot_general(
+            bd2.astype(seg.dtype), seg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [2Ci, W]
+        for half in range(2):
+            row = 2 * pair + half
+            g = r0 - 1 + row
+            gc = jnp.clip(g, 0, H - 1)
+            hi = jnp.minimum(hidx_ref[gc] - h0, HWIN2 - 2)
+            a = hfrac_ref[gc]
+            r_lo = w_intra[pl.ds(hi * Ci, Ci), :].astype(jnp.float32)
+            r_hi = w_intra[pl.ds((hi + 1) * Ci, Ci), :].astype(jnp.float32)
+            up = (1.0 - a) * r_lo + a * r_hi                 # [Ci, W]
+            mask = jnp.logical_and(g >= 0, g < H).astype(jnp.float32)
+            u = (up + i3[half * Ci : (half + 1) * Ci, :] + bi) * mask
+            u_b = u.astype(u_scr.dtype)
+            if with_u and 0 < row <= TR:
+                # center rows 1..TR are this tile's output rows r0..r0+TR-1:
+                # emit the post-skip pre-conv activation (the next level's
+                # half-res input)
+                u_out_ref[0, row - 1] = u_b
+            u_scr[pl.ds((row * 3 + 1) * Ci, Ci), :] = u_b
+            u_scr[pl.ds((row * 3 + 0) * Ci, Ci), :] = (
+                pltpu.roll(u, 1, 1) * mask_l
+            ).astype(u_scr.dtype)
+            u_scr[pl.ds((row * 3 + 2) * Ci, Ci), :] = (
+                pltpu.roll(u, W - 1, 1) * mask_r
+            ).astype(u_scr.dtype)
+
+    wk = wo_ref[:]                 # merged: [TR*Co, 3*NROW*Ci]; else [Co, 9*Ci]
+    if merged:
+        acc = jax.lax.dot_general(
+            wk.astype(u_scr.dtype), u_scr[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # [TR*Co, W]
+        for j in range(TR):
+            out_ref[0, j] = acc[j * Co : (j + 1) * Co].astype(out_ref.dtype)
+    else:
+        for j in range(TR):
+            useg = u_scr[pl.ds(3 * j * Ci, 9 * Ci), :]
+            out_ref[0, j] = jax.lax.dot_general(
+                wk.astype(useg.dtype), useg,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+
+
+def _run_kernel_v4(intra, skip, wi, bi, wo, tile_rows=8, interpret=False,
+                   merged=False, with_u=False):
+    """v4/v5 launcher: W-resize in XLA (einsum over the whole tensor), then
+    the slim blend/conv kernel (``merged``: v5 single block-shifted output
+    matmul). ``with_u`` additionally returns the pre-conv sum
+    ``up2(intra) + 1x1(skip) + bias`` — the NEXT top-down level's input —
+    so the mid levels (L2/L3) can fuse without re-materializing the chain.
+    Bit-compatibility note: resize-then-H-blend and H-blend-then-resize are
+    the same linear map; only f32->bf16 rounding of the pre-resized rows
+    differs from the v2 kernel's order."""
+    N, Hh, Wh, Ci = intra.shape
+    _, H, W, Cs = skip.shape
+    Co = wo.shape[-1]
+    assert (2 * Cs) % 16 == 0 and Ci % 16 == 0, (Cs, Ci)
+    assert H % tile_rows == 0 and (H, W) == (2 * Hh, 2 * Wh)
+    dt = intra.dtype
+
+    hidx, hfrac = _h_tables(H, Hh)
+    Wp = -(-W // 128) * 128
+    mw = _w_matrix(W, Wh, np.float32)                            # [Wh, W]
+    mw = np.pad(mw, ((0, 0), (0, Wp - W)))
+    mw = jnp.asarray(mw).astype(dt)                              # [Wh, Wp]
+
+    # pre-resize every half-res row once, directly in channels-in-sublanes
+    # layout (the dot_general's natural result order [n, h, c, w] — no
+    # relayout): [N, Hh, Wh, Ci] -> [N, Hh, Ci, Wp] -> [N, Hh*Ci, Wp]
+    intra_w = jnp.einsum(
+        "nhvc,vw->nhcw", intra, mw,
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    intraw_t = intra_w.reshape(N, Hh * Ci, Wp)
+
+    sk_t = jnp.swapaxes(skip, 2, 3)  # [N, H, Cs, W]
+    sk_pad = jnp.pad(sk_t, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    c0 = sk_pad.reshape(N, (H + 2) * Cs, W)
+    if Wp != W:
+        c0 = jnp.pad(c0, ((0, 0), (0, 0), (0, Wp - W)))
+
+    wi_t = jnp.transpose(wi[0, 0], (1, 0))          # [Ci, Cs]
+    wo_t = jnp.transpose(wo, (3, 0, 1, 2)).reshape(Co, 9 * Ci)
+    bi_c = bi.reshape(Ci, 1).astype(jnp.float32)
+
+    T = H // tile_rows
+    NROW = tile_rows + 2
+    if merged:
+        # v5: block-shift wo per output row — row j's 9*Ci taps sit at
+        # K offset 3*j*Ci of the [3*NROW*Ci]-deep scratch
+        K = 3 * NROW * Ci
+        wo_t = jnp.concatenate(
+            [
+                jnp.pad(wo_t, ((0, 0), (3 * j * Ci, K - (3 * j + 9) * Ci)))
+                for j in range(tile_rows)
+            ],
+            axis=0,
+        )                                           # [TR*Co, 3*NROW*Ci]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # intraw_t
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),   # c0
+            pl.BlockSpec(
+                (Ci, Cs), lambda n, t, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (Ci, 1), lambda n, t, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                wo_t.shape, lambda n, t, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, Co, Wp), lambda n, t, *_: (n, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ) if not with_u else (
+            pl.BlockSpec(
+                (1, tile_rows, Co, Wp), lambda n, t, *_: (n, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_rows, Ci, Wp), lambda n, t, *_: (n, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((HWIN2 * Ci, Wp), dt),
+            pltpu.VMEM((NROW * Cs, Wp), dt),
+            pltpu.VMEM((3 * NROW * Ci, Wp), dt),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_shape = jax.ShapeDtypeStruct((N, T * tile_rows, Co, Wp), dt)
+    if with_u:
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((N, T * tile_rows, Ci, Wp), dt),
+        )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_v4, TR=tile_rows, H=H, Hh=Hh, Ci=Ci, Cs=Cs, Co=Co,
+            w_real=W, merged=merged, with_u=with_u,
+        ),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(hidx), jnp.asarray(hfrac),
+        intraw_t, c0, wi_t.astype(dt), bi_c, wo_t.astype(dt),
+    )
+    if with_u:
+        o, u = out
+        return (
+            jnp.swapaxes(o, 2, 3)[:, :, :W],
+            jnp.swapaxes(u, 2, 3)[:, :, :W],
+        )
+    return jnp.swapaxes(out, 2, 3)[:, :, :W]  # [N, H, W, Co]
+
+
 def _unfused_chain(intra, skip, wi, bi, wo):
     """The XLA reference computation (models/fpn.py:_TopDown unfused path) —
     used by the custom VJP as the rematerialized backward."""
@@ -187,24 +423,72 @@ def _unfused_chain(intra, skip, wi, bi, wo):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused(intra, skip, wi, bi, wo, tile_rows, interpret):
-    return _run_kernel(intra, skip, wi, bi, wo, tile_rows, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused(intra, skip, wi, bi, wo, tile_rows, interpret, mode):
+    return _dispatch(intra, skip, wi, bi, wo, tile_rows, interpret, mode)
 
 
-def _fused_fwd(intra, skip, wi, bi, wo, tile_rows, interpret):
+def _dispatch(intra, skip, wi, bi, wo, tile_rows, interpret, mode):
+    if mode == "v2":
+        return _run_kernel(intra, skip, wi, bi, wo, tile_rows, interpret)
+    return _run_kernel_v4(
+        intra, skip, wi, bi, wo, tile_rows, interpret, merged=(mode == "v5")
+    )
+
+
+def _fused_fwd(intra, skip, wi, bi, wo, tile_rows, interpret, mode):
     return (
-        _run_kernel(intra, skip, wi, bi, wo, tile_rows, interpret),
+        _dispatch(intra, skip, wi, bi, wo, tile_rows, interpret, mode),
         (intra, skip, wi, bi, wo),
     )
 
 
-def _fused_bwd(tile_rows, interpret, res, g):
+def _fused_bwd(tile_rows, interpret, mode, res, g):
     _, vjp = jax.vjp(_unfused_chain, *res)
     return vjp(g.astype(res[0].dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _unfused_chain_u(intra, skip, wi, bi, wo):
+    """Unfused XLA chain that also returns the pre-conv sum (the next
+    level's input) — VJP reference for the ``with_u`` fused form."""
+    from ...core.geometry import resize_align_corners
+
+    H, W = skip.shape[1:3]
+    up = resize_align_corners(intra, (H, W))
+    u = up + jax.lax.conv_general_dilated(
+        skip, wi, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + bi.astype(skip.dtype)
+    o = jax.lax.conv_general_dilated(
+        u, wo, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return o, u
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_u(intra, skip, wi, bi, wo, tile_rows, interpret, mode):
+    return _run_kernel_v4(
+        intra, skip, wi, bi, wo, tile_rows, interpret,
+        merged=(mode == "v5"), with_u=True,
+    )
+
+
+def _fused_u_fwd(intra, skip, wi, bi, wo, tile_rows, interpret, mode):
+    return (
+        _fused_u(intra, skip, wi, bi, wo, tile_rows, interpret, mode),
+        (intra, skip, wi, bi, wo),
+    )
+
+
+def _fused_u_bwd(tile_rows, interpret, mode, res, g):
+    _, vjp = jax.vjp(_unfused_chain_u, *res)
+    return vjp(tuple(x.astype(res[0].dtype) for x in g))
+
+
+_fused_u.defvjp(_fused_u_fwd, _fused_u_bwd)
 
 
 def topdown_fused_level(
@@ -216,9 +500,27 @@ def topdown_fused_level(
     *,
     tile_rows: int = 8,
     interpret: bool = False,
-) -> jnp.ndarray:          # [N, H, W, Co]
-    """Differentiable fused top-down level (see module docstring)."""
-    return _fused(intra, skip, wi, bi, wo, tile_rows, interpret)
+    mode: str = "v5",
+    with_u: bool = False,
+) -> jnp.ndarray:          # [N, H, W, Co]  (with_u: also [N, H, W, Ci])
+    """Differentiable fused top-down level (see module docstring).
+
+    ``mode='v5'`` (default; measured r4): v4 + the TR per-row output
+    matmuls merged into ONE block-shifted-weights matmul (the per-row form
+    runs at M=Co=8 sublanes — 1/16 MXU fill). ``mode='v4'``: W-resize
+    hoisted into one XLA matmul + slim blend/conv kernel (L4 17.5 unfused
+    -> 5.85 ms). ``mode='v2'``: the round-3 roll-based all-in-kernel form
+    (7.0 ms at the bench level CHAIN=32 / 6.46 at CHAIN=64).
+
+    ``with_u`` (v4/v5 only) also returns the pre-conv sum
+    ``up2(intra) + 1x1(skip) + bias`` — the NEXT level's half-res input —
+    letting the mid top-down levels (L2/L3) fuse too: the unfused L3 chain
+    measures 6.05 ms vs 1.92 fused (_probe_r4a.out).
+    """
+    if with_u:
+        assert mode in ("v4", "v5"), mode
+        return _fused_u(intra, skip, wi, bi, wo, tile_rows, interpret, mode)
+    return _fused(intra, skip, wi, bi, wo, tile_rows, interpret, mode)
 
 
 def _run_kernel(

@@ -70,6 +70,20 @@ def _tile_sample(
     return (wy[:, :, None].astype(jnp.float32) * z).sum(axis=1).astype(src.dtype)
 
 
+def _save(src, coords):
+    """custom-VJP residual pack: store the warp coordinates as two separate
+    ``[..., H, W]`` planes instead of the ``[..., 2]`` array. A residual whose
+    minor dimension is 2 lands in the lane axis of the saved buffer and XLA
+    pads lanes to 128 — a 64x HBM inflation that OOM'd the v3 train step at
+    the DTU recipe shape (34.8 GiB of padded residuals, `_probe_r3c.py`)."""
+    return src, coords[..., 0], coords[..., 1]
+
+
+def _load(res):
+    src, cx, cy = res
+    return src, jnp.stack((cx, cy), axis=-1)
+
+
 def _tile_starts(coords_y: jnp.ndarray, band: int, src_h: int) -> jnp.ndarray:
     """Per-tile band start rows: floor(min y) - 1, clamped so the K-row slice
     stays in range. coords_y: [T, P]."""
@@ -170,11 +184,11 @@ def _warp_one_banded_fwd(src, coords, band, tile_rows, xband, tile_cols):
         return None, _block_sample(src, bc, y0, x0g, band, xband)
 
     _, out = jax.lax.scan(body, None, (blocks, ystarts, xstarts))
-    return _merge_blocks(out, D, H, W, tile_rows, tile_cols, C), (src, coords)
+    return _merge_blocks(out, D, H, W, tile_rows, tile_cols, C), _save(src, coords)
 
 
 def _warp_one_banded_bwd(band, tile_rows, xband, tile_cols, res, g):
-    src, coords = res
+    src, coords = _load(res)
     D, H, W, _ = coords.shape
     Hs, Ws, C = src.shape
     blocks = _split_blocks(coords, tile_rows, tile_cols)
@@ -250,11 +264,11 @@ def _warp_one_fwd(src, coords, band, tile_rows):
 
     _, out = jax.lax.scan(body, None, (tiles, starts))
     out = out.reshape(D, H // tile_rows, tile_rows, W, C).reshape(D, H, W, C)
-    return out, (src, coords)
+    return out, _save(src, coords)
 
 
 def _warp_one_bwd(band, tile_rows, res, g):
-    src, coords = res
+    src, coords = _load(res)
     D, H, W, _ = coords.shape
     Hs, Ws, C = src.shape
     tiles = _split_tiles(coords, tile_rows)
@@ -353,7 +367,7 @@ def _warp_batched_pallas_xband_fwd(src, coords, band, tile_rows, xband, tile_col
         band=band_al, xband=xband_al, tile_cols=tile_cols, align_y=align_y,
         interpret=interpret,
     )
-    return out.reshape(B, D, H, W, C), (src, coords)
+    return out.reshape(B, D, H, W, C), _save(src, coords)
 
 
 def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
@@ -361,7 +375,7 @@ def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
     accumulation over the sequential grid — ops/pallas/warp_xband_bwd)."""
     from .pallas.warp_xband_bwd import warp_tiles_pallas_xband_bwd
 
-    src, coords = res
+    src, coords = _load(res)
     B, Hs, Ws, C = src.shape
     _, D, H, W, _ = coords.shape
     xg, yg, ystarts, xstarts, band_al, xband_al, align_y = _xband_tile_plan(
@@ -444,7 +458,7 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
     )  # [B, N, TR, C, W]
     T = H // tile_rows
     out = out.reshape(B, D, T, tile_rows, C, W).transpose(0, 1, 2, 3, 5, 4)
-    return out.reshape(B, D, H, W, C), (src, coords)
+    return out.reshape(B, D, H, W, C), _save(src, coords)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -475,7 +489,7 @@ def _warp_hybrid_fwd(src, coords, band, tile_rows, xband, tile_cols):
     out = jax.vmap(lambda s, c: _warp_one_fwd(s, c, band, tile_rows)[0])(
         src, coords
     )
-    return out, (src, coords)
+    return out, _save(src, coords)
 
 
 _warp_hybrid.defvjp(_warp_hybrid_fwd, _warp_batched_pallas_xband_bwd)
@@ -513,13 +527,13 @@ def _warp_batched_pallas_fwd(src, coords, band, tile_rows):
         align=align, interpret=interpret,
     )  # [B, N, TR, W, C]
     out = out.reshape(B, D, H, W, C)
-    return out, (src, coords)
+    return out, _save(src, coords)
 
 
 def _warp_batched_pallas_bwd(band, tile_rows, res, g):
-    src, coords = res
+    src, coords = _load(res)
     dsrc = jax.vmap(
-        lambda s, c, gg: _warp_one_bwd(band, tile_rows, (s, c), gg)[0]
+        lambda s, c, gg: _warp_one_bwd(band, tile_rows, _save(s, c), gg)[0]
     )(src, coords, g)
     return dsrc, None
 
@@ -539,6 +553,7 @@ def homo_warp_mxu(
     use_pallas: bool = False,
     hybrid: bool = False,
     v3: bool = False,
+    v3_min_w: int = 256,
 ) -> jnp.ndarray:
     """Gather-free bilinear homography warp: ``[B,Hs,Ws,C] -> [B,D,H,W,C]``.
 
@@ -577,7 +592,7 @@ def homo_warp_mxu(
         sub_tile = 16 if jnp.dtype(src_fea.dtype).itemsize == 2 else 8
         if (
             (band_k * C) % sub_tile == 0
-            and W_ >= 256 and band_k <= Hs and bwd_ok
+            and W_ >= v3_min_w and band_k <= Hs and bwd_ok
         ):
             return _warp_v3(src_fea, coords, band, tile_rows, xb, tc)
         # ineligible: fall through to the hybrid/scan paths

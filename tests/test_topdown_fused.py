@@ -14,11 +14,12 @@ from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.pallas.topdown_fused
 )
 
 
+@pytest.mark.parametrize("mode", ["v2", "v4", "v5"])
 @pytest.mark.parametrize(
     "N,Hh,Wh,Cs,Co,seed",
     [(2, 16, 32, 8, 8, 0), (1, 32, 40, 16, 16, 1), (1, 8, 64, 32, 8, 2)],
 )
-def test_fused_level_matches_xla_chain(N, Hh, Wh, Cs, Co, seed):
+def test_fused_level_matches_xla_chain(N, Hh, Wh, Cs, Co, seed, mode):
     rng = np.random.default_rng(seed)
     Ci = 64
     H, W = 2 * Hh, 2 * Wh
@@ -36,10 +37,68 @@ def test_fused_level_matches_xla_chain(N, Hh, Wh, Cs, Co, seed):
         up + i3, wo, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    got = topdown_fused_level(intra, skip, wi, bi, wo, interpret=True)
+    got = topdown_fused_level(intra, skip, wi, bi, wo, interpret=True,
+                              mode=mode)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
     )
+
+
+@pytest.mark.parametrize("mode", ["v4", "v5"])
+def test_fused_level_with_u_matches_xla_chain(mode):
+    """with_u: the kernel's second output (pre-conv sum = the next level's
+    input) must equal the unfused chain's intermediate; gradients through
+    BOTH outputs must match the XLA chain (mid-level L2/L3 fusion path)."""
+    rng = np.random.default_rng(7)
+    N, Hh, Wh, Ci, Cs, Co = 1, 16, 24, 64, 16, 16
+    H, W = 2 * Hh, 2 * Wh
+    intra = jnp.asarray(rng.standard_normal((N, Hh, Wh, Ci)), jnp.float32)
+    skip = jnp.asarray(rng.standard_normal((N, H, W, Cs)), jnp.float32)
+    wi = jnp.asarray(rng.standard_normal((1, 1, Cs, Ci)) * 0.1, jnp.float32)
+    bi = jnp.asarray(rng.standard_normal((Ci,)) * 0.1, jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.05, jnp.float32)
+
+    def ref_chain(intra, skip, wi, bi, wo):
+        up = resize_align_corners(intra, (H, W))
+        u = up + jax.lax.conv_general_dilated(
+            skip, wi, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bi
+        o = jax.lax.conv_general_dilated(
+            u, wo, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return o, u
+
+    o_ref, u_ref = ref_chain(intra, skip, wi, bi, wo)
+    o_got, u_got = topdown_fused_level(
+        intra, skip, wi, bi, wo, interpret=True, mode=mode, with_u=True
+    )
+    np.testing.assert_allclose(np.asarray(o_got), np.asarray(o_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_got), np.asarray(u_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    cot_o = jnp.asarray(rng.standard_normal(o_ref.shape), jnp.float32)
+    cot_u = jnp.asarray(rng.standard_normal(u_ref.shape), jnp.float32)
+
+    def loss_fused(*a):
+        o, u = topdown_fused_level(
+            *a, interpret=True, mode=mode, with_u=True
+        )
+        return (o * cot_o).sum() + (u * cot_u).sum()
+
+    def loss_ref(*a):
+        o, u = ref_chain(*a)
+        return (o * cot_o).sum() + (u * cot_u).sum()
+
+    args = (intra, skip, wi, bi, wo)
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip(("intra", "skip", "wi", "bi", "wo"), g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
+        )
 
 
 def test_full_model_fused_topdown_matches():

@@ -332,6 +332,36 @@ def test_v3_warp_matches_gather_path():
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-5)
 
 
+def test_v3_warp_non_128_multiple_width():
+    """Ws=320 (>= the 256 eligibility floor but NOT a 128 multiple): the v3
+    launcher zero-pads the pre-transposed source to Ws_pad=384 for the manual
+    HBM band DMA (Mosaic requires 128-multiple lane extents) — padded taps
+    must carry ZERO weight, not an edge clamp. Covers coords landing in the
+    last fractional column (x in [Ws-2, Ws-1)) and fully out of range past
+    the right edge."""
+    src, rel, depth = _setup(B=1, D=2, H=16, W=320)
+    ref = grid_sample_2d(src, warp_coords(rel, depth))
+    got = homo_warp_mxu(
+        src, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=64,
+        v3=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # push sample x across and past the right edge: a large baseline shifts
+    # the epipolar lines right, so per-pixel coords sweep through the final
+    # fractional column and beyond (zeros, like grid_sample's zero padding)
+    src2, rel2, depth2 = _setup(B=1, D=2, H=16, W=320, baseline=40.0)
+    cx = np.asarray(warp_coords(rel2, depth2))[..., 0]
+    assert ((cx >= 318.0) & (cx < 319.0)).any(), "no coords in last column"
+    assert (cx >= 319.0).any(), "no out-of-range coords"
+    ref2 = grid_sample_2d(src2, warp_coords(rel2, depth2))
+    got2 = homo_warp_mxu(
+        src2, rel2, depth2, band=16, tile_rows=8, xband=96, tile_cols=64,
+        v3=True,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-5)
+
+
 def test_v3_warp_bf16_widened_band():
     """bf16 src with C=8: align_y=2, so the kernel runs with the widened
     18-row band (144 sublanes) and floored starts — the geometry real TPU
