@@ -224,21 +224,39 @@ class _TopDown(nn.Module):
 
         intra = conv3
         o1 = out1(intra)
-        if fz2:
-            o2, intra = fused_level(intra, conv2, inner1, out2, True)
+        if fz2 and fz3 and fz4:
+            # fully-fused cascade: the inter-level pathway stays in the
+            # kernel's channels-in-sublanes layout (no transpose copies)
+            from ..ops.pallas.topdown_fused import topdown_fused_chain
+
+            def w3(inner, out):
+                ki, bi = inner()
+                ko, _ = out()
+                return (ki.astype(self.dtype), bi, ko.astype(self.dtype))
+
+            o2, o3, o4 = topdown_fused_chain(
+                intra.astype(self.dtype),
+                (conv2.astype(self.dtype), conv1.astype(self.dtype),
+                 conv0.astype(self.dtype)),
+                (w3(inner1, out2), w3(inner2, out3), w3(inner3, out4)),
+                interpret=interpret,
+            )
         else:
-            intra = up2(intra) + inner1(conv2)
-            o2 = out2(intra)
-        if fz3:
-            o3, intra = fused_level(intra, conv1, inner2, out3, True)
-        else:
-            intra = up2(intra) + inner2(conv1)
-            o3 = out3(intra)
-        if fz4:
-            o4 = fused_level(intra, conv0, inner3, out4, False)
-        else:
-            intra = up2(intra) + inner3(conv0)
-            o4 = out4(intra)
+            if fz2:
+                o2, intra = fused_level(intra, conv2, inner1, out2, True)
+            else:
+                intra = up2(intra) + inner1(conv2)
+                o2 = out2(intra)
+            if fz3:
+                o3, intra = fused_level(intra, conv1, inner2, out3, True)
+            else:
+                intra = up2(intra) + inner2(conv1)
+                o3 = out3(intra)
+            if fz4:
+                o4 = fused_level(intra, conv0, inner3, out4, False)
+            else:
+                intra = up2(intra) + inner3(conv0)
+                o4 = out4(intra)
 
         if self.dcn:
             vg = self.view_groups

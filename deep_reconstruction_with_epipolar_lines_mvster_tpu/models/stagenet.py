@@ -51,6 +51,9 @@ def run_stage(
         attn_temp=attn_temp, attn_fuse_d=attn_fuse_d,
         impl=warp_impl, band=warp_band, tile_rows=warp_tile_rows,
         xband=warp_xband, tile_cols=warp_tile_cols,
+        # eval-only fused warp+group-cor kernel (no VJP; the train path
+        # keeps the differentiable two-step v3/hybrid warp)
+        fuse_cor=not train,
     )  # folded [B*D, h, w, G]
 
     score = regnet(cost).astype(jnp.float32).reshape(B, D, H, W)

@@ -288,33 +288,50 @@ def _kernel_v4(hidx_ref, hfrac_ref, intraw_ref, c0_ref, wi_ref, bi_ref,
 
 
 def _run_kernel_v4(intra, skip, wi, bi, wo, tile_rows=8, interpret=False,
-                   merged=False, with_u=False):
+                   merged=False, with_u=False, intra_cw=False, u_cw=False):
     """v4/v5 launcher: W-resize in XLA (einsum over the whole tensor), then
     the slim blend/conv kernel (``merged``: v5 single block-shifted output
     matmul). ``with_u`` additionally returns the pre-conv sum
     ``up2(intra) + 1x1(skip) + bias`` — the NEXT top-down level's input —
     so the mid levels (L2/L3) can fuse without re-materializing the chain.
-    Bit-compatibility note: resize-then-H-blend and H-blend-then-resize are
-    the same linear map; only f32->bf16 rounding of the pre-resized rows
-    differs from the v2 kernel's order."""
-    N, Hh, Wh, Ci = intra.shape
+    ``intra_cw``/``u_cw``: consume/emit the half-res pathway in the
+    channels-in-sublanes ``[N, H, Ci, Wp]`` layout (lane-padded; junk
+    columns beyond the logical width) — the chain-fused path passes ``u``
+    straight into the next level's pre-resize einsum, skipping the NHWC
+    transpose-back XLA otherwise emits as a ~1.15 ms relayout copy at the
+    bench L3->L4 hand-off (r4 trace). Bit-compatibility note:
+    resize-then-H-blend and H-blend-then-resize are the same linear map;
+    only f32->bf16 rounding of the pre-resized rows differs from the v2
+    kernel's order."""
     _, H, W, Cs = skip.shape
+    if intra_cw:
+        N, Hh, Ci, Whp_in = intra.shape
+        Wh = W // 2
+        assert Whp_in >= Wh and H == 2 * Hh
+    else:
+        N, Hh, Wh, Ci = intra.shape
+        assert (H, W) == (2 * Hh, 2 * Wh)
     Co = wo.shape[-1]
     assert (2 * Cs) % 16 == 0 and Ci % 16 == 0, (Cs, Ci)
-    assert H % tile_rows == 0 and (H, W) == (2 * Hh, 2 * Wh)
+    assert H % tile_rows == 0
     dt = intra.dtype
 
     hidx, hfrac = _h_tables(H, Hh)
     Wp = -(-W // 128) * 128
     mw = _w_matrix(W, Wh, np.float32)                            # [Wh, W]
-    mw = np.pad(mw, ((0, 0), (0, Wp - W)))
-    mw = jnp.asarray(mw).astype(dt)                              # [Wh, Wp]
+    if intra_cw:
+        # zero rows beyond the logical Wh kill the lane-pad junk columns
+        # of the previous level's u
+        mw = np.pad(mw, ((0, Whp_in - Wh), (0, Wp - W)))
+    else:
+        mw = np.pad(mw, ((0, 0), (0, Wp - W)))
+    mw = jnp.asarray(mw).astype(dt)
 
     # pre-resize every half-res row once, directly in channels-in-sublanes
     # layout (the dot_general's natural result order [n, h, c, w] — no
     # relayout): [N, Hh, Wh, Ci] -> [N, Hh, Ci, Wp] -> [N, Hh*Ci, Wp]
     intra_w = jnp.einsum(
-        "nhvc,vw->nhcw", intra, mw,
+        "nhcv,vw->nhcw" if intra_cw else "nhvc,vw->nhcw", intra, mw,
         preferred_element_type=jnp.float32,
     ).astype(dt)
     intraw_t = intra_w.reshape(N, Hh * Ci, Wp)
@@ -402,7 +419,7 @@ def _run_kernel_v4(intra, skip, wi, bi, wo, tile_rows=8, interpret=False,
         o, u = out
         return (
             jnp.swapaxes(o, 2, 3)[:, :, :W],
-            jnp.swapaxes(u, 2, 3)[:, :, :W],
+            u if u_cw else jnp.swapaxes(u, 2, 3)[:, :, :W],
         )
     return jnp.swapaxes(out, 2, 3)[:, :, :W]  # [N, H, W, Co]
 
@@ -500,17 +517,19 @@ def topdown_fused_level(
     *,
     tile_rows: int = 8,
     interpret: bool = False,
-    mode: str = "v5",
+    mode: str = "v4",
     with_u: bool = False,
 ) -> jnp.ndarray:          # [N, H, W, Co]  (with_u: also [N, H, W, Ci])
     """Differentiable fused top-down level (see module docstring).
 
-    ``mode='v5'`` (default; measured r4): v4 + the TR per-row output
-    matmuls merged into ONE block-shifted-weights matmul (the per-row form
-    runs at M=Co=8 sublanes — 1/16 MXU fill). ``mode='v4'``: W-resize
-    hoisted into one XLA matmul + slim blend/conv kernel (L4 17.5 unfused
-    -> 5.85 ms). ``mode='v2'``: the round-3 roll-based all-in-kernel form
-    (7.0 ms at the bench level CHAIN=32 / 6.46 at CHAIN=64).
+    ``mode='v4'`` (default; measured r4): W-resize hoisted into one XLA
+    matmul + slim blend/conv kernel (L4 17.5 unfused -> 5.85 ms).
+    ``mode='v5'``: v4 + the TR per-row output matmuls merged into ONE
+    block-shifted-weights matmul — measured SLOWER (L4 6.17, L3 2.28 vs
+    1.92, _probe_r4b.out): the MXU streams M sublane rows, so the merged
+    form's 3.3x zero-padded K outweighs the per-row form's M=Co=8
+    underfill. Kept for the negative result. ``mode='v2'``: the round-3
+    roll-based all-in-kernel form (6.46 ms at CHAIN=64).
 
     ``with_u`` (v4/v5 only) also returns the pre-conv sum
     ``up2(intra) + 1x1(skip) + bias`` — the NEXT level's half-res input —
@@ -521,6 +540,84 @@ def topdown_fused_level(
         assert mode in ("v4", "v5"), mode
         return _fused_u(intra, skip, wi, bi, wo, tile_rows, interpret, mode)
     return _fused(intra, skip, wi, bi, wo, tile_rows, interpret, mode)
+
+
+def _unfused_topdown_chain(intra, skips, weights):
+    """XLA reference for the chain VJP: the whole top-down cascade
+    (models/fpn.py:_TopDown unfused levels, reference
+    mvs4net_utils.py:489-509)."""
+    from ...core.geometry import resize_align_corners
+
+    outs = []
+    cur = intra
+    for skip, (wi, bi, wo) in zip(skips, weights):
+        H, W = skip.shape[1:3]
+        cur = resize_align_corners(cur, (H, W)) + jax.lax.conv_general_dilated(
+            skip, wi, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bi.astype(skip.dtype)
+        outs.append(
+            jax.lax.conv_general_dilated(
+                cur, wo, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        )
+    return tuple(outs)
+
+
+def _chain_impl(intra, skips, weights, tile_rows, interpret):
+    outs = []
+    cur, cw = intra, False
+    for i, (skip, (wi, bi, wo)) in enumerate(zip(skips, weights)):
+        if i == len(skips) - 1:
+            outs.append(_run_kernel_v4(
+                cur, skip, wi, bi, wo, tile_rows, interpret, intra_cw=cw,
+            ))
+        else:
+            o, cur = _run_kernel_v4(
+                cur, skip, wi, bi, wo, tile_rows, interpret,
+                with_u=True, intra_cw=cw, u_cw=True,
+            )
+            cw = True
+            outs.append(o)
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_chain(intra, skips, weights, tile_rows, interpret):
+    return _chain_impl(intra, skips, weights, tile_rows, interpret)
+
+
+def _fused_chain_fwd(intra, skips, weights, tile_rows, interpret):
+    return (
+        _chain_impl(intra, skips, weights, tile_rows, interpret),
+        (intra, skips, weights),
+    )
+
+
+def _fused_chain_bwd(tile_rows, interpret, res, g):
+    _, vjp = jax.vjp(_unfused_topdown_chain, *res)
+    dt = res[0].dtype
+    return vjp(tuple(x.astype(dt) for x in g))
+
+
+_fused_chain.defvjp(_fused_chain_fwd, _fused_chain_bwd)
+
+
+def topdown_fused_chain(
+    intra: jnp.ndarray,              # [N, Hh, Wh, 64] coarsest pathway
+    skips: tuple,                    # (conv2, conv1, conv0) finest-last
+    weights: tuple,                  # ((wi, bi, wo),) per level
+    *,
+    tile_rows: int = 8,
+    interpret: bool = False,
+) -> tuple:                          # (o2, o3, o4)
+    """Differentiable fully-fused FPN top-down cascade: every level runs
+    the v4 kernel, and the inter-level pathway tensor ``u`` stays in the
+    kernel's channels-in-sublanes layout end to end (no NHWC transpose
+    copies between levels). Backward rematerializes the unfused chain."""
+    return _fused_chain(intra, tuple(skips), tuple(weights), tile_rows,
+                        interpret)
 
 
 def _run_kernel(

@@ -148,6 +148,133 @@ def _kernel_xchunk(starts_ref, xstarts_ref, x_ref, y_ref, src_hc_ref, out_ref,
     jax.lax.fori_loop(0, tile_rows, row, 0, unroll=True)
 
 
+def _group_mean(prod, C, G):
+    """[C, W] f32 -> [G, W]: per-group channel means (the group correlation
+    readout, reference mvs4net_utils.py:1066-1069). Value-level sublane
+    slices — any granularity is legal on values (vs refs)."""
+    cpg = C // G
+    rows = []
+    for gi in range(G):
+        s = prod[gi * cpg]
+        for j in range(1, cpg):
+            s = s + prod[gi * cpg + j]
+        rows.append((s / cpg)[None, :])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _kernel_cor(starts_ref, x_ref, y_ref, src_hc_ref, ref_r, out_ref,
+                rt_vmem, sem, *, band: int, tile_rows: int, channels: int,
+                align_y: int, groups: int):
+    """Full-width kernel + fused group-correlation epilogue: emits
+    ``[TR, G, W]`` correlation against the (pre-transposed) reference rows
+    instead of the ``[TR, C, W]`` warped features — the warped volume never
+    round-trips HBM (eval-only path)."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    y0 = pl.multiple_of(starts_ref[b, n], align_y)
+    start = pl.multiple_of(y0 * C, align_y * C)
+
+    cp = pltpu.make_async_copy(
+        src_hc_ref.at[b, pl.ds(start, band * C)], rt_vmem, sem
+    )
+    cp.start()
+
+    Ws = src_hc_ref.shape[2]
+    W = x_ref.shape[3]
+    y0f = y0.astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (Ws, W), 0).astype(jnp.float32)
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (band * C, W), 0) // C
+    ).astype(jnp.float32)
+
+    cp.wait()
+    rt = rt_vmem[:]
+
+    def row(r, _):
+        x = x_ref[0, 0, r]
+        y = y_ref[0, 0, r]
+        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - js))
+        zt = jax.lax.dot_general(
+            rt, wxT.astype(rt.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wyT = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - (y0f + kidx)))
+        prod = wyT * zt
+        acc = prod[0:C, :]
+        for k in range(1, band):
+            acc = acc + prod[k * C : (k + 1) * C, :]
+        refr = ref_r[0, 0, pl.ds(r * C, C), :].astype(jnp.float32)
+        out_ref[0, 0, r] = _group_mean(acc * refr, C, groups).astype(
+            out_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(0, tile_rows, row, 0, unroll=True)
+
+
+def _kernel_xchunk_cor(starts_ref, xstarts_ref, x_ref, y_ref, src_hc_ref,
+                       ref_r, out_ref, rt_vmem, sem, *, band: int,
+                       tile_rows: int, channels: int, align_y: int,
+                       xwin: int, chunk: int, groups: int):
+    """Column-chunked kernel + fused group-correlation epilogue."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    y0 = pl.multiple_of(starts_ref[b, n], align_y)
+    start = pl.multiple_of(y0 * C, align_y * C)
+
+    cp = pltpu.make_async_copy(
+        src_hc_ref.at[b, pl.ds(start, band * C)], rt_vmem, sem
+    )
+    cp.start()
+
+    W = x_ref.shape[3]
+    G = W // chunk
+    y0f = y0.astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (xwin, chunk), 0).astype(
+        jnp.float32
+    )
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (band * C, chunk), 0) // C
+    ).astype(jnp.float32)
+
+    cp.wait()
+
+    def row(r, _):
+        for g in range(G):
+            x0 = pl.multiple_of(xstarts_ref[b, n, g], 128)
+            x = x_ref[0, 0, r, g * chunk : (g + 1) * chunk]
+            y = y_ref[0, 0, r, g * chunk : (g + 1) * chunk]
+            wxT = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(x[None, :] - (x0.astype(jnp.float32) + js)),
+            )
+            rt = rt_vmem[:, pl.ds(x0, xwin)]
+            zt = jax.lax.dot_general(
+                rt, wxT.astype(rt.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wyT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[None, :] - (y0f + kidx))
+            )
+            prod = wyT * zt
+            acc = prod[0:C, :]
+            for k in range(1, band):
+                acc = acc + prod[k * C : (k + 1) * C, :]
+            refr = ref_r[
+                0, 0, pl.ds(r * C, C), g * chunk : (g + 1) * chunk
+            ].astype(jnp.float32)
+            out_ref[0, 0, r, :, g * chunk : (g + 1) * chunk] = _group_mean(
+                acc * refr, C, groups
+            ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, tile_rows, row, 0, unroll=True)
+
+
 def warp_tiles_pallas_v3(
     src: jnp.ndarray,       # [B, Hs, Ws, C]
     xcoords: jnp.ndarray,   # [B, N, TR, W] f32
@@ -159,8 +286,10 @@ def warp_tiles_pallas_v3(
     xstarts: jnp.ndarray | None = None,  # [B, N, G] int32, 128-aligned
     xwin: int = 0,
     chunk: int = 128,
+    ref: jnp.ndarray | None = None,      # [B, H, W, C]: fuse group-cor
+    groups: int = 0,
     interpret: bool = False,
-) -> jnp.ndarray:           # [B, N, TR, C, W]
+) -> jnp.ndarray:  # [B, N, TR, C, W]; with ref: [B, N, TR, groups, W]
     B, Hs, Ws, C = src.shape
     _, N, TR, W = xcoords.shape
     # merge (row, channel) into sublanes: [B, Hs*C, Ws]
@@ -169,6 +298,7 @@ def warp_tiles_pallas_v3(
 
     chunked = xstarts is not None
     nsp = 2 if chunked else 1
+    cor = ref is not None
 
     def idx4(b, n, *_):
         return (b, n, 0, 0)
@@ -176,28 +306,59 @@ def warp_tiles_pallas_v3(
     def idx5(b, n, *_):
         return (b, n, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, TR, W), idx4, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TR, W), idx4, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+    ]
+    inputs = [xcoords, ycoords, src_hc]
+    Co = C
+    if cor:
+        # the reference rows for output tile t = n % T, channels in
+        # sublanes: [B, T, TR*C, W] (T = H // TR; grid index n = d*T + t)
+        H = ref.shape[1]
+        T_tiles = H // TR
+        ref_t = jnp.swapaxes(ref, 2, 3).reshape(B, T_tiles, TR * C, W)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, TR * C, W),
+                lambda b, n, *_: (b, n % T_tiles, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(ref_t)
+        Co = groups
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=nsp,
         grid=(B, N),
-        in_specs=[
-            pl.BlockSpec((1, 1, TR, W), idx4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TR, W), idx4, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, TR, C, W), idx5, memory_space=pltpu.VMEM
+            (1, 1, TR, Co, W), idx5, memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((band * C, Ws), src.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    if chunked:
+    if chunked and cor:
+        kern = functools.partial(
+            _kernel_xchunk_cor, band=band, tile_rows=TR, channels=C,
+            align_y=align_y, xwin=xwin, chunk=chunk, groups=groups,
+        )
+        scalars = (starts, xstarts)
+    elif chunked:
         kern = functools.partial(
             _kernel_xchunk, band=band, tile_rows=TR, channels=C,
             align_y=align_y, xwin=xwin, chunk=chunk,
         )
         scalars = (starts, xstarts)
+    elif cor:
+        kern = functools.partial(
+            _kernel_cor, band=band, tile_rows=TR, channels=C,
+            align_y=align_y, groups=groups,
+        )
+        scalars = (starts,)
     else:
         kern = functools.partial(
             _kernel, band=band, tile_rows=TR, channels=C, align_y=align_y
@@ -205,7 +366,7 @@ def warp_tiles_pallas_v3(
         scalars = (starts,)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((B, N, TR, C, W), src.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, N, TR, Co, W), src.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(*scalars, xcoords, ycoords, src_hc)
+    )(*scalars, *inputs)

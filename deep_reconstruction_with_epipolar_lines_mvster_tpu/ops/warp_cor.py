@@ -119,6 +119,7 @@ def epipolar_aggregate(
     tile_rows: int = 8,
     xband: int = 0,
     tile_cols: int = 128,
+    fuse_cor: bool = False,
 ) -> jnp.ndarray:
     """Cross-view attention-weighted fused cost volume, FOLDED layout
     ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing
@@ -129,26 +130,53 @@ def epipolar_aggregate(
     including the 1e-8 epsilon seed of the weight sum and the
     ``softmax_D(sum_G / attn_temp) / sqrt(C)`` weighting (attn_fuse_d path)
     or the per-pixel max-weight variant (``attn_fuse_d=False``, ``:1079-1081``).
+
+    ``fuse_cor`` (eval-only; caller gates on ``not train``): with
+    ``impl='mxu_v3'`` and group correlation, run warp + correlation in ONE
+    Pallas pass (ops/warp_mxu.warp_cor_v3) — the per-view warped volume
+    (the largest tensor of the stage) never round-trips HBM. Values
+    identical to the two-step path up to f32 accumulation order.
     """
     ref_fea = features[0]
     B, H, W, C = ref_fea.shape
     D = depth_hypo.shape[1]
     ref_stack = proj_stacks[:, 0]
-    ref_tiled = jnp.broadcast_to(ref_fea[:, None], (B, D, H, W, C)).reshape(
-        B * D, H, W, C
-    )
+    fuse_v3 = False
+    if fuse_cor and group_cor and impl == "mxu_v3" and H % tile_rows == 0:
+        from .warp_mxu import v3_fwd_eligible, warp_cor_v3
+
+        fuse_v3 = v3_fwd_eligible(
+            features[1].shape, W, band, features[1].dtype
+        )
+        # per-stage effective chunking, mirroring homo_warp_mxu's plan
+        tc = next(
+            (t for t in (tile_cols, 128, 64, 32, 16) if W % t == 0), 0
+        )
+        xb = max(xband - tile_cols + tc, tc + 16) if tc and xband else 0
+    if not fuse_v3:
+        ref_tiled = jnp.broadcast_to(
+            ref_fea[:, None], (B, D, H, W, C)
+        ).reshape(B * D, H, W, C)
     acc = 0.0
     norm = 1e-8
     for v in range(1, len(features)):
         rel = relative_projection(proj_stacks[:, v], ref_stack)
-        wf = _warp(
-            features[v], rel, depth_hypo, impl, band, tile_rows, xband, tile_cols
-        ).reshape(B * D, H, W, C)
-        if group_cor:
-            cor = _group_correlate(wf, ref_tiled, group_dim)  # [BD, H, W, G]
+        if fuse_v3:
+            coords = warp_coords(rel, depth_hypo)
+            cor = warp_cor_v3(
+                features[v], ref_fea, coords, band, tile_rows, xb, tc,
+                group_dim,
+            ).reshape(B * D, H, W, group_dim)
         else:
-            diff = ref_tiled - wf
-            cor = diff * diff
+            wf = _warp(
+                features[v], rel, depth_hypo, impl, band, tile_rows, xband,
+                tile_cols,
+            ).reshape(B * D, H, W, C)
+            if group_cor:
+                cor = _group_correlate(wf, ref_tiled, group_dim)
+            else:
+                diff = ref_tiled - wf
+                cor = diff * diff
         cor_sum = cor.sum(axis=-1).reshape(B, D, H, W)
         if attn_fuse_d:
             w = jax.nn.softmax(cor_sum / attn_temp, axis=1) / math.sqrt(C)

@@ -461,6 +461,69 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
     return out.reshape(B, D, H, W, C), _save(src, coords)
 
 
+def v3_fwd_eligible(src_shape, W: int, band: int, dtype,
+                    v3_min_w: int = 256) -> bool:
+    """Static eligibility of the v3 FORWARD kernel (shared by the plain warp
+    and the fused warp+group-cor path): the aligned band must fit the
+    source, its sublane-merged (k, c) extent must tile, and output rows
+    must be wide enough to fill lanes."""
+    Hs, _, C = src_shape[-3:]
+    ay = _v3_align_y(C, dtype)
+    band_k = band + (ay if ay > 1 else 0)
+    sub_tile = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    return (band_k * C) % sub_tile == 0 and W >= v3_min_w and band_k <= Hs
+
+
+def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
+                groups):
+    """Warp + group-correlation in ONE v3 kernel pass (eval-only; no VJP):
+    ``[B,Hs,Ws,C] x [B,H,W,C] -> [B,D,H,W,G]``. The kernel's epilogue
+    multiplies the warped rows by the pre-transposed reference rows and
+    emits per-group channel means — the warped volume (the largest
+    per-view tensor, 84 MB at the bench stage 4) never round-trips HBM.
+    Same eligibility/plan as the v3 forward; caller must pre-check with
+    the same conditions ``homo_warp_mxu`` uses (see
+    ``warp_cor.epipolar_aggregate``)."""
+    from .pallas.warp_fwd_v3 import warp_tiles_pallas_v3
+
+    B, Hs, Ws, C = src.shape
+    _, D, H, W, _ = coords.shape
+    align_y = _v3_align_y(C, src.dtype)
+    Ws_pad = -(-Ws // 128) * 128
+    src_k = (
+        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
+        if Ws_pad != Ws
+        else src
+    )
+    band_k = band + (align_y if align_y > 1 else 0)
+    tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)
+    starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    starts = (starts // align_y) * align_y
+    starts = jnp.clip(starts, 0, max((Hs - band_k) // align_y * align_y, 0))
+    N = tiles.shape[1]
+    xg = tiles[..., 0].reshape(B, N, tile_rows, W)
+    yg = tiles[..., 1].reshape(B, N, tile_rows, W)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+
+    chunk = 128
+    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
+    kw = {}
+    if xwin and Ws_pad >= xwin and W % chunk == 0:
+        G = W // chunk
+        xmin = xg.reshape(B, N, tile_rows, G, chunk).min(axis=(2, 4))
+        x0 = ((jnp.floor(xmin).astype(jnp.int32) - 1) // chunk) * chunk
+        x0 = jnp.clip(x0, 0, max((Ws_pad - xwin) // chunk * chunk, 0))
+        kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
+    out = warp_tiles_pallas_v3(
+        src_k, xg, yg, starts.astype(jnp.int32),
+        band=band_k, align_y=align_y, ref=ref.astype(src.dtype),
+        groups=groups, interpret=interpret, **kw,
+    )  # [B, N, TR, G, W]
+    T = H // tile_rows
+    out = out.reshape(B, D, T, tile_rows, groups, W).transpose(0, 1, 2, 3, 5, 4)
+    return out.reshape(B, D, H, W, groups)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _warp_v3(src, coords, band, tile_rows, xband, tile_cols):
     """v3 Pallas forward (flipped layout, ops/pallas/warp_fwd_v3) +
@@ -584,16 +647,9 @@ def homo_warp_mxu(
     bwd_ok = tc and xb_al <= Ws_ and band_al <= Hs and Hs % align == 0
 
     if v3 and xband:
-        # v3 fwd eligibility: the aligned band (band + align_y rows) must
-        # fit the source, its sublane-merged (k,c) extent must tile, and
-        # rows must be wide enough to fill lanes; bwd = x-banded Pallas
-        ay = _v3_align_y(C, src_fea.dtype)
-        band_k = band + (ay if ay > 1 else 0)
-        sub_tile = 16 if jnp.dtype(src_fea.dtype).itemsize == 2 else 8
-        if (
-            (band_k * C) % sub_tile == 0
-            and W_ >= v3_min_w and band_k <= Hs and bwd_ok
-        ):
+        # v3 fwd eligibility (shared helper); bwd = x-banded Pallas
+        if v3_fwd_eligible(src_fea.shape, W_, band, src_fea.dtype,
+                           v3_min_w) and bwd_ok:
             return _warp_v3(src_fea, coords, band, tile_rows, xb, tc)
         # ineligible: fall through to the hybrid/scan paths
         v3 = False

@@ -189,3 +189,67 @@ def test_fused_level_vjp_matches_xla_chain():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4, err_msg=name
         )
+
+
+def test_fused_chain_matches_xla_chain():
+    """Fully-fused cascade (CW-layout inter-level hand-off) vs the unfused
+    XLA chain: all three outputs + gradients for every input."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.pallas.topdown_fused import (
+        topdown_fused_chain,
+    )
+
+    rng = np.random.default_rng(9)
+    N, Ci = 1, 64
+    Hh, Wh = 8, 12  # L2 half-res; levels double to (16,24) -> (32,48) -> (64,96)
+    intra = jnp.asarray(rng.standard_normal((N, Hh, Wh, Ci)), jnp.float32)
+    skips, weights = [], []
+    for lvl, (cs, co) in enumerate([(32, 32), (16, 16), (8, 8)]):
+        H, W = 2 ** (lvl + 1) * Hh, 2 ** (lvl + 1) * Wh
+        skips.append(
+            jnp.asarray(rng.standard_normal((N, H, W, cs)), jnp.float32)
+        )
+        weights.append((
+            jnp.asarray(rng.standard_normal((1, 1, cs, Ci)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((Ci,)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((3, 3, Ci, co)) * 0.05, jnp.float32),
+        ))
+
+    def ref_chain(intra, skips, weights):
+        outs = []
+        cur = intra
+        for skip, (wi, bi, wo) in zip(skips, weights):
+            H, W = skip.shape[1:3]
+            cur = resize_align_corners(cur, (H, W)) + jax.lax.conv_general_dilated(
+                skip, wi, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bi
+            outs.append(jax.lax.conv_general_dilated(
+                cur, wo, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ))
+        return tuple(outs)
+
+    ref = ref_chain(intra, skips, weights)
+    got = topdown_fused_chain(intra, tuple(skips), tuple(weights),
+                              interpret=True)
+    for i, (a, b) in enumerate(zip(got, ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5,
+            err_msg=f"o{i + 2}",
+        )
+
+    cots = [jnp.asarray(rng.standard_normal(r.shape), jnp.float32) for r in ref]
+
+    def loss_fused(intra, skips, weights):
+        outs = topdown_fused_chain(intra, skips, weights, interpret=True)
+        return sum((o * c).sum() for o, c in zip(outs, cots))
+
+    def loss_ref(intra, skips, weights):
+        return sum((o * c).sum() for o, c in zip(ref_chain(intra, skips, weights), cots))
+
+    args = (intra, tuple(skips), tuple(weights))
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

@@ -375,3 +375,53 @@ def test_v3_warp_bf16_widened_band():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref), atol=0.05, rtol=0.02
     )
+
+
+def test_fused_warp_cor_matches_two_step():
+    """Eval-only fused warp+group-correlation kernel (warp_cor_v3, interpret
+    mode) vs the gather warp + _group_correlate two-step reference, through
+    epipolar_aggregate — and the full aggregate output."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.core.geometry import (
+        relative_projection,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.warp_cor import (
+        epipolar_aggregate,
+    )
+
+    B, D, H, W, C, G, V = 1, 2, 16, 256, 8, 4, 3
+    rng = np.random.default_rng(11)
+    src0, rel, depth = _setup(B=B, D=D, H=H, W=W)
+    feats = [
+        jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        for _ in range(V)
+    ]
+    # proj stacks shared by _setup's geometry: rebuild the [B, V, 2, 4, 4]
+    # stack with the ref view first and the _setup source twice
+    f = 0.9 * W
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    E_ref = np.eye(4, dtype=np.float32)
+    stacks = [np.zeros((2, 4, 4), np.float32) for _ in range(V)]
+    for i, st in enumerate(stacks):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = 3.0 * i
+        E[1, 3] = 0.9 * i
+        st[0] = E
+        st[1, :3, :3] = K
+    projs = jnp.asarray(np.broadcast_to(np.stack(stacks), (B, V, 2, 4, 4)))
+
+    kw = dict(
+        group_cor=True, group_dim=G, attn_temp=2.0, attn_fuse_d=True,
+        band=16, tile_rows=8, xband=96, tile_cols=64,
+    )
+    ref_out = epipolar_aggregate(feats, projs, depth, impl="gather", **kw)
+    got = epipolar_aggregate(
+        feats, projs, depth, impl="mxu_v3", fuse_cor=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref_out), atol=3e-5, rtol=1e-4
+    )
+    # and the plain (unfused) v3 path agrees too, as a cross-check
+    got2 = epipolar_aggregate(feats, projs, depth, impl="mxu_v3", **kw)
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(ref_out), atol=3e-5, rtol=1e-4
+    )
