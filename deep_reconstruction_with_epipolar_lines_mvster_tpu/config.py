@@ -90,6 +90,15 @@ class ModelConfig:
                                         # train (custom VJP rematerializes
                                         # the unfused chain for backward;
                                         # ops/pallas/topdown_fused.py)
+    fused_topdown_chain: bool = True    # with fused_topdown: run ALL levels
+                                        # in one chain with the inter-level
+                                        # pathway kept in the kernel's
+                                        # channels-in-sublanes layout;
+                                        # False = per-level fusion (NHWC
+                                        # hand-off between levels)
+    fuse_warp_cor: bool = True          # eval-only fused warp+group-cor
+                                        # Pallas pass under warp_impl=mxu_v3
+                                        # (ops/warp_mxu.warp_cor_v3)
 
     @property
     def compute_dtype(self):

@@ -158,6 +158,7 @@ class _TopDown(nn.Module):
     dcn: bool
     view_groups: int = 1
     fuse_final: bool = False
+    fuse_chain: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -224,7 +225,7 @@ class _TopDown(nn.Module):
 
         intra = conv3
         o1 = out1(intra)
-        if fz2 and fz3 and fz4:
+        if fz2 and fz3 and fz4 and self.fuse_chain:
             # fully-fused cascade: the inter-level pathway stays in the
             # kernel's channels-in-sublanes layout (no transpose copies)
             from ..ops.pallas.topdown_fused import topdown_fused_chain
@@ -281,8 +282,9 @@ class FPN4(nn.Module):
                              # ops/packed_conv.py — the C=8..16 full/half-res
                              # stem convs are ~5x off roofline unpacked).
                              # BatchNorm stems only (gn unsupported).
-    fuse_topdown: bool = False  # fused Pallas final top-down level
+    fuse_topdown: bool = False  # fused Pallas top-down levels
                              # (ops/pallas/topdown_fused.py; differentiable)
+    fuse_chain: bool = True  # chain all fused levels (CW hand-off)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -325,7 +327,8 @@ class FPN4(nn.Module):
 
         return _TopDown(
             self.base, self.gn, self.dcn, self.view_groups,
-            fuse_final=self.fuse_topdown, dtype=self.dtype,
+            fuse_final=self.fuse_topdown, fuse_chain=self.fuse_chain,
+            dtype=self.dtype,
         )(
             unpack_w(conv0, k0), unpack_w(conv1, k1),
             unpack_w(conv2, k2), unpack_w(conv3, k3), train=train,

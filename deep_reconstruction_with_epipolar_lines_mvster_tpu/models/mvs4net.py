@@ -92,7 +92,7 @@ class MVS4Net(nn.Module):
             backbone = maybe_remat(FPN4)(
                 cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, view_groups=V,
                 pack=cfg.pack_conv, fuse_topdown=cfg.fused_topdown,
-                dtype=dtype,
+                fuse_chain=cfg.fused_topdown_chain, dtype=dtype,
             )
         elif cfg.arch_mode == "fpn_convnext":
             backbone = maybe_remat(FPN4ConvNeXt)(
@@ -228,6 +228,7 @@ class MVS4Net(nn.Module):
                 warp_tile_rows=cfg.warp_tile_rows,
                 warp_xband=cfg.warp_xband,
                 warp_tile_cols=cfg.warp_tile_cols,
+                fuse_cor=cfg.fuse_warp_cor,
             )
             if spatial:
                 # crop the halo away, reassemble full-H maps across shards

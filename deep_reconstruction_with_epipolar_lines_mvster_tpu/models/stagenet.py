@@ -43,6 +43,7 @@ def run_stage(
     warp_tile_rows: int = 8,
     warp_xband: int = 0,
     warp_tile_cols: int = 128,
+    fuse_cor: bool = True,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape
     cost = epipolar_aggregate(
@@ -53,7 +54,7 @@ def run_stage(
         xband=warp_xband, tile_cols=warp_tile_cols,
         # eval-only fused warp+group-cor kernel (no VJP; the train path
         # keeps the differentiable two-step v3/hybrid warp)
-        fuse_cor=not train,
+        fuse_cor=fuse_cor and not train,
     )  # folded [B*D, h, w, G]
 
     score = regnet(cost).astype(jnp.float32).reshape(B, D, H, W)

@@ -153,30 +153,50 @@ def epipolar_aggregate(
             (t for t in (tile_cols, 128, 64, 32, 16) if W % t == 0), 0
         )
         xb = max(xband - tile_cols + tc, tc + 16) if tc and xband else 0
-    if not fuse_v3:
-        ref_tiled = jnp.broadcast_to(
-            ref_fea[:, None], (B, D, H, W, C)
-        ).reshape(B * D, H, W, C)
+    if fuse_v3:
+        # kernel-native accumulation: every per-view tensor stays in the
+        # pallas output layout [B, D, T, TR, G, W] (G in sublanes, W in
+        # lanes) — the per-view NHWC transpose costs ~4.5 ms/view at the
+        # bench stage 4 (r4f trace); only the final fused volume is
+        # relayouted, once.
+        acc = 0.0
+        norm = 1e-8
+        for v in range(1, len(features)):
+            rel = relative_projection(proj_stacks[:, v], ref_stack)
+            coords = warp_coords(rel, depth_hypo)
+            cor = warp_cor_v3(
+                features[v], ref_fea, coords, band, tile_rows, xb, tc,
+                group_dim, native=True,
+            )  # [B, D, T, TR, G, W]
+            cor_sum = cor.sum(axis=4)  # [B, D, T, TR, W]
+            if attn_fuse_d:
+                w = jax.nn.softmax(cor_sum / attn_temp, axis=1) / math.sqrt(C)
+            else:
+                w = jax.nn.softmax(cor_sum, axis=1).max(axis=1, keepdims=True)
+                w = jnp.broadcast_to(w, cor_sum.shape)
+            w = w[:, :, :, :, None]
+            acc = acc + w * cor
+            norm = norm + w
+        out = acc / norm  # [B, D, T, TR, G, W]
+        out = out.transpose(0, 1, 2, 3, 5, 4)  # ONE relayout
+        return out.reshape(B * D, H, W, group_dim)
+
+    ref_tiled = jnp.broadcast_to(
+        ref_fea[:, None], (B, D, H, W, C)
+    ).reshape(B * D, H, W, C)
     acc = 0.0
     norm = 1e-8
     for v in range(1, len(features)):
         rel = relative_projection(proj_stacks[:, v], ref_stack)
-        if fuse_v3:
-            coords = warp_coords(rel, depth_hypo)
-            cor = warp_cor_v3(
-                features[v], ref_fea, coords, band, tile_rows, xb, tc,
-                group_dim,
-            ).reshape(B * D, H, W, group_dim)
+        wf = _warp(
+            features[v], rel, depth_hypo, impl, band, tile_rows, xband,
+            tile_cols,
+        ).reshape(B * D, H, W, C)
+        if group_cor:
+            cor = _group_correlate(wf, ref_tiled, group_dim)
         else:
-            wf = _warp(
-                features[v], rel, depth_hypo, impl, band, tile_rows, xband,
-                tile_cols,
-            ).reshape(B * D, H, W, C)
-            if group_cor:
-                cor = _group_correlate(wf, ref_tiled, group_dim)
-            else:
-                diff = ref_tiled - wf
-                cor = diff * diff
+            diff = ref_tiled - wf
+            cor = diff * diff
         cor_sum = cor.sum(axis=-1).reshape(B, D, H, W)
         if attn_fuse_d:
             w = jax.nn.softmax(cor_sum / attn_temp, axis=1) / math.sqrt(C)

@@ -475,7 +475,7 @@ def v3_fwd_eligible(src_shape, W: int, band: int, dtype,
 
 
 def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
-                groups):
+                groups, native=False):
     """Warp + group-correlation in ONE v3 kernel pass (eval-only; no VJP):
     ``[B,Hs,Ws,C] x [B,H,W,C] -> [B,D,H,W,G]``. The kernel's epilogue
     multiplies the warped rows by the pre-transposed reference rows and
@@ -483,7 +483,13 @@ def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
     per-view tensor, 84 MB at the bench stage 4) never round-trips HBM.
     Same eligibility/plan as the v3 forward; caller must pre-check with
     the same conditions ``homo_warp_mxu`` uses (see
-    ``warp_cor.epipolar_aggregate``)."""
+    ``warp_cor.epipolar_aggregate``).
+
+    ``native=True`` returns the KERNEL-native layout ``[B, D, T, TR, G, W]``
+    (a free reshape of the pallas output) instead of ``[B, D, H, W, G]`` —
+    the NHWC transpose costs ~4.5 ms/view at the bench stage 4 (relayout
+    copy + packed reshape + reduce in a forced layout, r4f trace); the
+    caller accumulates attention natively and relayouts ONCE."""
     from .pallas.warp_fwd_v3 import warp_tiles_pallas_v3
 
     B, Hs, Ws, C = src.shape
@@ -520,7 +526,10 @@ def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
         groups=groups, interpret=interpret, **kw,
     )  # [B, N, TR, G, W]
     T = H // tile_rows
-    out = out.reshape(B, D, T, tile_rows, groups, W).transpose(0, 1, 2, 3, 5, 4)
+    out = out.reshape(B, D, T, tile_rows, groups, W)
+    if native:
+        return out
+    out = out.transpose(0, 1, 2, 3, 5, 4)
     return out.reshape(B, D, H, W, groups)
 
 

@@ -94,14 +94,29 @@ def _bn(entries, flax_prefix: str, torch_prefix: str):
     )
 
 
-def _conv_bn_relu(entries, flax_prefix: str, torch_prefix: str, transform=_conv2d):
+def _conv_bn_relu(entries, flax_prefix: str, torch_prefix: str,
+                  transform=_conv2d, gn: bool = False):
     entries.append(
         ("params", f"{flax_prefix}/Conv_0/kernel", f"{torch_prefix}.conv.weight", transform)
     )
-    _bn(entries, f"{flax_prefix}/BatchNorm_0", f"{torch_prefix}.bn")
+    if gn:
+        # reference Conv2d with gn: conv has a bias (bias = not bn,
+        # mvs4net_utils.py:236-238) and the norm is GroupNorm (.gn.*)
+        entries.append(
+            ("params", f"{flax_prefix}/Conv_0/bias", f"{torch_prefix}.conv.bias", _vec)
+        )
+        entries.append(
+            ("params", f"{flax_prefix}/GroupNorm_0/scale", f"{torch_prefix}.gn.weight", _vec)
+        )
+        entries.append(
+            ("params", f"{flax_prefix}/GroupNorm_0/bias", f"{torch_prefix}.gn.bias", _vec)
+        )
+    else:
+        _bn(entries, f"{flax_prefix}/BatchNorm_0", f"{torch_prefix}.bn")
 
 
-def _topdown_entries(entries, td: str, *, dcn: bool = False):
+def _topdown_entries(entries, td: str, *, dcn: bool = False,
+                      gn: bool = False):
     """The FPN top-down pathway (inner/out convs) shared by FPN4 and the
     ConvNeXt variants (reference mvs4net_utils.py:459-502, :604-650), plus
     the optional NA_DCN heads (``:410-424``, ``feature.dcn{1..4}`` =
@@ -116,7 +131,19 @@ def _topdown_entries(entries, td: str, *, dcn: bool = False):
     if dcn:
         for i in range(4):
             na = f"{td}/NADCN_{i}"
-            _bn(entries, f"{na}/BatchNorm_0", f"feature.dcn{i + 1}.0")
+            if gn:
+                # NA_DCN(gn=True) = GroupNorm + ReLU + DeformConvPack
+                # (mvs4net_utils.py:410-417)
+                entries.append((
+                    "params", f"{na}/GroupNorm_0/scale",
+                    f"feature.dcn{i + 1}.0.weight", _vec,
+                ))
+                entries.append((
+                    "params", f"{na}/GroupNorm_0/bias",
+                    f"feature.dcn{i + 1}.0.bias", _vec,
+                ))
+            else:
+                _bn(entries, f"{na}/BatchNorm_0", f"feature.dcn{i + 1}.0")
             dc = f"{na}/DeformConv2d_0"
             entries.append((
                 "params", f"{dc}/Conv_0/kernel",
@@ -132,7 +159,8 @@ def _topdown_entries(entries, td: str, *, dcn: bool = False):
             ))
 
 
-def _fpn4_entries(entries, feature: str, *, dcn: bool = False):
+def _fpn4_entries(entries, feature: str, *, dcn: bool = False,
+                  gn: bool = False):
     """FPN4 (reference mvs4net_utils.py:426-509). ``feature`` is the flax
     module name (``FPN4_0`` or ``CheckpointFPN4_0`` under remat)."""
     stem = [
@@ -142,16 +170,19 @@ def _fpn4_entries(entries, feature: str, *, dcn: bool = False):
         "conv3.0", "conv3.1", "conv3.2",
     ]
     for i, p in enumerate(stem):
-        _conv_bn_relu(entries, f"{feature}/ConvBnReLU_{i}", f"feature.{p}")
-    _topdown_entries(entries, f"{feature}/_TopDown_0", dcn=dcn)
+        _conv_bn_relu(entries, f"{feature}/ConvBnReLU_{i}", f"feature.{p}",
+                      gn=gn)
+    _topdown_entries(entries, f"{feature}/_TopDown_0", dcn=dcn, gn=gn)
 
 
 def _fpn4_convnext_entries(entries, feature: str, *, patchify: bool,
-                           dcn: bool = False):
+                           dcn: bool = False, gn: bool = False):
     """FPN4_convnext / FPN4_convnext4 (reference mvs4net_utils.py:588-728):
     2-conv stem + three ConvNeXt stages + the shared top-down pathway."""
-    _conv_bn_relu(entries, f"{feature}/ConvBnReLU_0", "feature.conv0.0")
-    _conv_bn_relu(entries, f"{feature}/ConvBnReLU_1", "feature.conv0.1")
+    _conv_bn_relu(entries, f"{feature}/ConvBnReLU_0", "feature.conv0.0",
+                  gn=gn)
+    _conv_bn_relu(entries, f"{feature}/ConvBnReLU_1", "feature.conv0.1",
+                  gn=gn)
     block_cls = "ConvNeXt4Block" if patchify else "ConvNeXtBlock"
     for i in range(3):
         blk = f"{feature}/{block_cls}_{i}"
@@ -172,7 +203,7 @@ def _fpn4_convnext_entries(entries, feature: str, *, patchify: bool,
         entries.append(("params", f"{blk}/Dense_1/kernel", f"{tb}.pwconv2.weight", _dense))
         entries.append(("params", f"{blk}/Dense_1/bias", f"{tb}.pwconv2.bias", _vec))
         entries.append(("params", f"{blk}/gamma", f"{tb}.gamma", _vec))
-    _topdown_entries(entries, f"{feature}/_TopDown_0", dcn=dcn)
+    _topdown_entries(entries, f"{feature}/_TopDown_0", dcn=dcn, gn=gn)
 
 
 # per ASFF level: the three level-specific convs in the reference's
@@ -407,9 +438,6 @@ def torch_state_dict_to_flax(state_dict, template_variables, cfg):
         for k, v in state_dict.items()
     }
 
-    if cfg.gn and cfg.dcn:
-        raise NotImplementedError("torch transplant: gn+dcn (GroupNorm NA_DCN) not mapped")
-
     tmpl_flat = {
         col: _flatten(template_variables[col]) for col in template_variables
     }
@@ -421,11 +449,12 @@ def torch_state_dict_to_flax(state_dict, template_variables, cfg):
 
     entries: list = []
     if cfg.arch_mode == "fpn":
-        _fpn4_entries(entries, feature, dcn=cfg.dcn)
+        _fpn4_entries(entries, feature, dcn=cfg.dcn, gn=cfg.gn)
     elif cfg.arch_mode in ("fpn_convnext", "fpn_convnext4"):
         _fpn4_convnext_entries(
             entries, feature,
             patchify=(cfg.arch_mode == "fpn_convnext4"), dcn=cfg.dcn,
+            gn=cfg.gn,
         )
     else:
         raise NotImplementedError(

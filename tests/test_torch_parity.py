@@ -297,6 +297,7 @@ def _assert_stage_close(ref_out, flax_out, num_stages, train):
     "shape,pack",
     [((64, 128), False), ((128, 64), False), ((64, 128), True)],
 )
+@pytest.mark.slow
 def test_full_model_parity_dtu_config(shape, pack):
     H, W = shape
     B, V = 2, 3
@@ -361,6 +362,7 @@ def test_full_model_parity_dtu_config(shape, pack):
     )
 
 
+@pytest.mark.slow
 def test_full_model_parity_forward_depth_no_mono():
     """Non-inverse, non-group-cor variant (plain variance cost volume)."""
     cfg = _make_cfg(group_cor=False, inverse_depth=False, mono=False)
@@ -394,6 +396,7 @@ def test_full_model_parity_forward_depth_no_mono():
     _assert_stage_close(ref_out, flax_out, cfg.num_stages, train=False)
 
 
+@pytest.mark.slow
 def test_full_model_parity_reg3d():
     """reg3d regularizer variant (true 3-D U-Net, reference
     mvs4net_utils.py:928-979, down_size schedule MVS4Net.py:57-58) —
