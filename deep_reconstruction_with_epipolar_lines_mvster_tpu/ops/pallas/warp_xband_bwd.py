@@ -99,6 +99,76 @@ def _kernel(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, dsrc_ref, out_ref,
         wr.wait()
 
 
+def _kernel_v2(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, dsrc_ref,
+               out_ref, acc_vmem, win_vmem, sem_r, sem_w, *, band: int,
+               xband: int, tile_rows: int, tile_cols: int, channels: int,
+               align_y: int):
+    """v2: accumulate ALL column chunks of a tile into one FULL-WIDTH VMEM
+    scratch and apply ONE read-modify-write per grid cell. The v1 kernel
+    issued 2*G serialized DMAs per cell (rd.wait -> add -> wr.wait per
+    chunk); at the DTU stage-4 shape that is 10 round-trip-latency-bound
+    DMAs x 1536 cells per view (r4g trace: bwd ~17.7 ms/view while its
+    matmul FLOPs account for <half). Inner per-row compute keeps the v1
+    form: merging (row, col) into one sublane axis via reshape is a
+    lane->sublane relayout Mosaic refuses to lower (measured r4;
+    negative)."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    TC = tile_cols
+    G = x_ref.shape[3] // TC
+    y0 = pl.multiple_of(ystarts_ref[b, n], align_y)
+    ystart = pl.multiple_of(y0 * C, align_y * C)
+    y0f = y0.astype(jnp.float32)
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 1)
+    foldT = (ccol == jrow % C).astype(jnp.float32).T  # [C, band*C]
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (TC, band * C), 1) // C
+    ).astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (TC, xband), 1).astype(
+        jnp.float32
+    )
+
+    acc_vmem[...] = jnp.zeros_like(acc_vmem)
+    for g in range(G):
+        x0 = pl.multiple_of(xstarts_ref[b, n, g], 8)
+        x0f = xstarts_ref[b, n, g].astype(jnp.float32)
+        for r in range(tile_rows):
+            x = jnp.transpose(
+                x_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )  # [TC, 1]
+            y = jnp.transpose(
+                y_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )
+            gr = g_ref[0, 0, r, pl.ds(g * TC, TC)]  # [TC, C]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (x0f + js)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + kidx)))
+            gexp = jnp.dot(
+                gr.astype(jnp.float32), foldT,
+                preferred_element_type=jnp.float32,
+            )
+            contrib = jax.lax.dot_general(
+                wx, wy * gexp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [xband, band*C]
+            cur = acc_vmem[pl.ds(x0, xband), :]
+            acc_vmem[pl.ds(x0, xband), :] = cur + contrib
+
+    rd = pltpu.make_async_copy(
+        out_ref.at[b, :, pl.ds(ystart, band * C)], win_vmem, sem_r
+    )
+    rd.start()
+    rd.wait()
+    win_vmem[...] += acc_vmem[...]
+    wr = pltpu.make_async_copy(
+        win_vmem, out_ref.at[b, :, pl.ds(ystart, band * C)], sem_w
+    )
+    wr.start()
+    wr.wait()
+
+
 def warp_tiles_pallas_xband_bwd(
     g: jnp.ndarray,         # [B, N, TR, W, C] f32/bf16 cotangent
     xcoords: jnp.ndarray,   # [B, N, TR, W] f32
@@ -112,11 +182,13 @@ def warp_tiles_pallas_xband_bwd(
     tile_cols: int,
     align_y: int = 1,
     interpret: bool = False,
+    mode: str = "v1",
 ) -> jnp.ndarray:           # [B, Hs, Ws, C] f32
     B, Hs, Ws, C = src_shape
     _, N, TR, W = xcoords.shape
     dsrc0 = jnp.zeros((B, Ws, Hs * C), jnp.float32)
 
+    v2 = mode == "v2"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, N),
@@ -137,15 +209,20 @@ def warp_tiles_pallas_xband_bwd(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((xband, band * C), jnp.float32),
-            pltpu.VMEM((xband, band * C), jnp.float32),
+            pltpu.VMEM(
+                (Ws if v2 else xband, band * C), jnp.float32
+            ),
+            pltpu.VMEM(
+                (Ws if v2 else xband, band * C), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    kern = _kernel_v2 if v2 else _kernel
     dsrc_t = pl.pallas_call(
         functools.partial(
-            _kernel, band=band, xband=xband, tile_rows=TR,
+            kern, band=band, xband=xband, tile_rows=TR,
             tile_cols=tile_cols, channels=C, align_y=align_y,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Ws, Hs * C), jnp.float32),

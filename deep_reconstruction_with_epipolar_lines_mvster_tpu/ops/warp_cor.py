@@ -26,7 +26,12 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-from ..core.geometry import grid_sample_2d, relative_projection, warp_coords
+from ..core.geometry import (
+    grid_sample_2d,
+    relative_projection,
+    warp_coords,
+    warp_coords_xy,
+)
 
 
 def correlate_view(
@@ -163,9 +168,9 @@ def epipolar_aggregate(
         norm = 1e-8
         for v in range(1, len(features)):
             rel = relative_projection(proj_stacks[:, v], ref_stack)
-            coords = warp_coords(rel, depth_hypo)
+            cxv, cyv = warp_coords_xy(rel, depth_hypo)
             cor = warp_cor_v3(
-                features[v], ref_fea, coords, band, tile_rows, xb, tc,
+                features[v], ref_fea, cxv, cyv, band, tile_rows, xb, tc,
                 group_dim, native=True,
             )  # [B, D, T, TR, G, W]
             cor_sum = cor.sum(axis=4)  # [B, D, T, TR, W]

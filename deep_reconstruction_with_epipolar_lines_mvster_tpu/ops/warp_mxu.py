@@ -474,7 +474,7 @@ def v3_fwd_eligible(src_shape, W: int, band: int, dtype,
     return (band_k * C) % sub_tile == 0 and W >= v3_min_w and band_k <= Hs
 
 
-def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
+def warp_cor_v3(src, ref, cx, cy, band, tile_rows, xband, tile_cols,
                 groups, native=False):
     """Warp + group-correlation in ONE v3 kernel pass (eval-only; no VJP):
     ``[B,Hs,Ws,C] x [B,H,W,C] -> [B,D,H,W,G]``. The kernel's epilogue
@@ -489,11 +489,16 @@ def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
     (a free reshape of the pallas output) instead of ``[B, D, H, W, G]`` —
     the NHWC transpose costs ~4.5 ms/view at the bench stage 4 (relayout
     copy + packed reshape + reduce in a forced layout, r4f trace); the
-    caller accumulates attention natively and relayouts ONCE."""
+    caller accumulates attention natively and relayouts ONCE.
+
+    ``cx``/``cy``: separate ``[B, D, H, W]`` coordinate planes
+    (core.geometry.warp_coords_xy) — never the stacked ``[..., 2]`` form,
+    whose interleaved materialization + de-interleave measured ~0.7 ms/view
+    at the bench stage 4."""
     from .pallas.warp_fwd_v3 import warp_tiles_pallas_v3
 
     B, Hs, Ws, C = src.shape
-    _, D, H, W, _ = coords.shape
+    _, D, H, W = cx.shape
     align_y = _v3_align_y(C, src.dtype)
     Ws_pad = -(-Ws // 128) * 128
     src_k = (
@@ -502,13 +507,13 @@ def warp_cor_v3(src, ref, coords, band, tile_rows, xband, tile_cols,
         else src
     )
     band_k = band + (align_y if align_y > 1 else 0)
-    tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)
-    starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    N = D * (H // tile_rows)
+    yt = cy.reshape(B, N, tile_rows * W)
+    starts = jax.vmap(lambda t: _tile_starts(t, band, Hs))(yt)
     starts = (starts // align_y) * align_y
     starts = jnp.clip(starts, 0, max((Hs - band_k) // align_y * align_y, 0))
-    N = tiles.shape[1]
-    xg = tiles[..., 0].reshape(B, N, tile_rows, W)
-    yg = tiles[..., 1].reshape(B, N, tile_rows, W)
+    xg = cx.reshape(B, N, tile_rows, W)
+    yg = cy.reshape(B, N, tile_rows, W)
     interpret = jax.default_backend() not in ("tpu", "axon")
 
     chunk = 128

@@ -50,4 +50,11 @@ python train_mvs4.py \
   --seed 0 \
   --bf16 \
   --no_remat \
+  --warp_band 12 \
+  --warp_xband 144 \
   $PY_ARGS 2>&1 | tee "$LOG_DIR/log_${exp}.txt"
+# warp_band 12 / warp_xband 144: measured-fastest banded-warp windows on
+# v5e (BENCH_NOTES round 4; train step 510 -> 499 ms). Both validated
+# coverage-0 on the bench geometry via ops.warp_mxu.band_coverage — for a
+# new dataset/rig, check coverage first or drop back to the conservative
+# defaults (16/192).
