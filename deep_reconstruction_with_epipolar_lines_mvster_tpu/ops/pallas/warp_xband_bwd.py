@@ -48,6 +48,9 @@ def _kernel(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, dsrc_ref, out_ref,
     ystart = pl.multiple_of(y0 * C, align_y * C)
     y0f = y0.astype(jnp.float32)
 
+    # NOTE r4 negative: running these matmuls with bf16 factors (f32
+    # accumulation) measured 514 vs 503 ms/step — the per-row matmuls are
+    # overhead-bound, not stream-rate-bound; keep exact f32 factors.
     jrow = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 0)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 1)
     foldT = (ccol == jrow % C).astype(jnp.float32).T  # [C, band*C] as 2-D

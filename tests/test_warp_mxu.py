@@ -376,6 +376,22 @@ def test_v3_warp_bf16_widened_band():
         np.asarray(got, np.float32), np.asarray(ref), atol=0.05, rtol=0.02
     )
 
+    # bf16 BACKWARD: the xband bwd kernel runs its matmuls at the
+    # cotangent's precision (bf16 factors, f32 accumulation) — compare
+    # against the f32 gather gradient with bf16-scale tolerances
+    g_ref = jax.grad(
+        lambda s: (grid_sample_2d(s, warp_coords(rel, depth)) ** 2).sum()
+    )(src)
+    g_bf = jax.grad(
+        lambda s: (homo_warp_mxu(
+            s, rel, depth, band=16, tile_rows=8, xband=96, tile_cols=64,
+            v3=True,
+        ).astype(jnp.float32) ** 2).sum()
+    )(src.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(g_bf, np.float32), np.asarray(g_ref), atol=0.2, rtol=0.05
+    )
+
 
 def test_fused_warp_cor_matches_two_step():
     """Eval-only fused warp+group-correlation kernel (warp_cor_v3, interpret
