@@ -121,6 +121,55 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _check_warp_coverage(mcfg, sample):
+    """One-time guard on the first sample's REAL geometry: undersized
+    banded-warp windows fail SILENTLY (out-of-band taps get zero weight and
+    depths degrade with no error), so when the user narrows the windows
+    below the conservative defaults, validate them with
+    ops.warp_mxu.band_coverage and warn loudly on violation. Uses
+    constant-depth planes across the eval range (per-tile source-row span
+    is geometry-driven; matches the validation used to pick the recipe's
+    band=12/xband=144 — BENCH_NOTES round 4)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from ..core.geometry import relative_projection
+    from ..ops.warp_mxu import band_coverage
+
+    H0, W0 = sample["imgs"].shape[-3:-1]
+    dv = np.asarray(sample["depth_values"], np.float32)
+    worst = 0.0
+    for s_i, scale in ((1, 8), (2, 4), (3, 2), (4, 1)):
+        pm = jnp.asarray(np.asarray(sample["proj_matrices"][f"stage{s_i}"])[None])
+        h, w = H0 // scale, W0 // scale
+        if h % mcfg.warp_tile_rows:
+            continue
+        hypo = jnp.asarray(
+            np.broadcast_to(
+                np.linspace(dv[0], dv[-1], 8, dtype=np.float32)[
+                    None, :, None, None
+                ],
+                (1, 8, h, w),
+            ).copy()
+        )
+        for v in range(1, pm.shape[1]):
+            rel = relative_projection(pm[:, v], pm[:, 0])
+            worst = max(worst, float(band_coverage(
+                rel, hypo, h, band=mcfg.warp_band,
+                tile_rows=mcfg.warp_tile_rows,
+            )))
+    if worst > 0:
+        print(
+            f"WARNING: --warp_band {mcfg.warp_band} leaves {worst:.3%} of "
+            "bilinear taps OUTSIDE the source-row band on this scene's "
+            "geometry — depths will silently degrade. Use the conservative "
+            "default (16) or validate with ops.warp_mxu.band_coverage.",
+            flush=True,
+        )
+    return worst
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     assert args.batch_size == 1, "eval expects batch_size 1 (test_mvs4.py:947)"
@@ -183,6 +232,8 @@ def main(argv=None):
                 if args.loadckpt:
                     print(f"=> loading model {args.loadckpt}")
                     variables = load_weights(args.loadckpt, dict(variables), model_cfg=mcfg)
+                if mcfg.warp_impl != "gather" and mcfg.warp_band < 16:
+                    _check_warp_coverage(mcfg, s0)
                 # --vis_ETA: epipolar attention/warped-view figures
                 # (mvs4net_utils.py:1041-1073) = debug bits 3|5|6;
                 # --vis_stg_features: per-stage FPN features of the ref view

@@ -183,27 +183,8 @@ def warp_coords(
     Returns:
       ``[B, D, H, W, 2]`` float32 ``(x, y)`` source-pixel coordinates.
     """
-    B, D, H, W = depth_values.shape
-    proj = rel_proj
-    rot = proj[:, :3, :3]
-    trans = proj[:, :3, 3]
-
-    xs = jnp.arange(W, dtype=jnp.float32)
-    ys = jnp.arange(H, dtype=jnp.float32)
-    grid_x, grid_y = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
-    ones = jnp.ones_like(grid_x)
-    xyz = jnp.stack([grid_x, grid_y, ones], axis=-1).reshape(1, H * W, 3)
-
-    rot_xyz = jnp.einsum("bij,bpj->bpi", rot, xyz)  # [B, HW, 3]
-    # [B, D, HW, 3] = ray * depth + t
-    proj_xyz = (
-        rot_xyz[:, None, :, :] * depth_values.reshape(B, D, H * W, 1)
-        + trans[:, None, None, :]
-    )
-    z = proj_xyz[..., 2]
-    z = jnp.where(z == 0.0, 1e-9, z)
-    xy = proj_xyz[..., :2] / z[..., None]
-    return jax.lax.stop_gradient(xy.reshape(B, D, H, W, 2))
+    x, y = warp_coords_xy(rel_proj, depth_values)
+    return jnp.stack([x, y], axis=-1)
 
 
 def warp_coords_xy(rel_proj, depth_values):

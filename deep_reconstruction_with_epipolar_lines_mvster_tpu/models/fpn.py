@@ -166,18 +166,15 @@ class _TopDown(nn.Module):
         b = self.base
         final = 8 * b
 
+        from ..ops.pallas.topdown_fused import level_fusable
+
         def lvl_fusable(skip_t, hh, wh):
-            # kernel geometry: 8 | H row tiles, H = 2*Hh exactly with
-            # Hh >= HWIN2=6, W = 2*Wh exactly; 16-sublane-aligned row-pair
-            # 1x1 segments (2*Cs) and intra slices (Ci=final)
+            # geometry constraints live with the kernel (single source of
+            # truth); final==64 additionally pins the bench-validated shape
             return (
                 self.fuse_final
                 and final == 64
-                and skip_t.shape[1] % 8 == 0
-                and skip_t.shape[1] >= 16
-                and skip_t.shape[1] == 2 * hh
-                and skip_t.shape[2] == 2 * wh
-                and (2 * skip_t.shape[-1]) % 16 == 0
+                and level_fusable(skip_t.shape, (hh, wh), final)
             )
 
         fz2 = lvl_fusable(conv2, conv3.shape[1], conv3.shape[2])

@@ -180,10 +180,30 @@ def _kernel(hidx_ref, hfrac_ref, intra_ref, c0_ref, wi_ref, bi_ref, wo_ref,
 HWIN2 = 6  # pre-resized intra window (rows hi(r0-1)..hi(r0+TR)+1 span <= 6)
 
 
+def level_fusable(skip_shape, intra_hw, final: int,
+                  tile_rows: int = 8) -> bool:
+    """Static eligibility of one fused top-down level — the single source
+    of truth for the kernel's geometry constraints (mirrored by the
+    launcher asserts): tile_rows | H, H = 2*Hh exactly with Hh >= HWIN2,
+    W = 2*Wh exactly, 16-sublane-aligned row-pair 1x1 segments (2*Cs) and
+    intra slices (Ci = ``final``)."""
+    H, W, Cs = skip_shape[1], skip_shape[2], skip_shape[3]
+    hh, wh = intra_hw
+    return (
+        final % 16 == 0
+        and H % tile_rows == 0
+        and hh >= HWIN2
+        and H == 2 * hh
+        and W == 2 * wh
+        and (2 * Cs) % 16 == 0
+    )
+
+
 def _kernel_v4(hidx_ref, hfrac_ref, intraw_ref, c0_ref, wi_ref, bi_ref,
                wo_ref, *refs,
                TR: int, H: int, Hh: int, Ci: int, Cs: int, Co: int,
-               w_real: int, merged: bool = False, with_u: bool = False):
+               w_real: int, merged: bool = False, with_u: bool = False,
+               u_only: bool = False):
     """v4 slim kernel: identical to ``_kernel`` except the W-resize happened
     OUTSIDE (one large XLA matmul over the whole ``intra`` tensor — each
     half-res row resized exactly once instead of once per blended output row,
@@ -196,7 +216,11 @@ def _kernel_v4(hidx_ref, hfrac_ref, intraw_ref, c0_ref, wi_ref, bi_ref,
     whose LHS is ``wo`` block-SHIFTED per output row (row j's 9*Ci taps sit
     at K offset 3*j*Ci; zero elsewhere — built statically by the launcher)
     computes every row at once: ~75 tile-ops for the same math."""
-    if with_u:
+    if u_only:
+        u_out_ref, w_intra, w_c0, sem1, sem2 = refs
+        out_ref = u_out_ref  # W/shape bookkeeping only; never written to o
+        u_scr = None
+    elif with_u:
         out_ref, u_out_ref, w_intra, w_c0, u_scr, sem1, sem2 = refs
     else:
         out_ref, w_intra, w_c0, u_scr, sem1, sem2 = refs
@@ -254,20 +278,23 @@ def _kernel_v4(hidx_ref, hfrac_ref, intraw_ref, c0_ref, wi_ref, bi_ref,
             up = (1.0 - a) * r_lo + a * r_hi                 # [Ci, W]
             mask = jnp.logical_and(g >= 0, g < H).astype(jnp.float32)
             u = (up + i3[half * Ci : (half + 1) * Ci, :] + bi) * mask
-            u_b = u.astype(u_scr.dtype)
-            if with_u and 0 < row <= TR:
+            u_b = u.astype(out_ref.dtype)
+            if (with_u or u_only) and 0 < row <= TR:
                 # center rows 1..TR are this tile's output rows r0..r0+TR-1:
                 # emit the post-skip pre-conv activation (the next level's
                 # half-res input)
                 u_out_ref[0, row - 1] = u_b
-            u_scr[pl.ds((row * 3 + 1) * Ci, Ci), :] = u_b
-            u_scr[pl.ds((row * 3 + 0) * Ci, Ci), :] = (
-                pltpu.roll(u, 1, 1) * mask_l
-            ).astype(u_scr.dtype)
-            u_scr[pl.ds((row * 3 + 2) * Ci, Ci), :] = (
-                pltpu.roll(u, W - 1, 1) * mask_r
-            ).astype(u_scr.dtype)
+            if not u_only:
+                u_scr[pl.ds((row * 3 + 1) * Ci, Ci), :] = u_b
+                u_scr[pl.ds((row * 3 + 0) * Ci, Ci), :] = (
+                    pltpu.roll(u, 1, 1) * mask_l
+                ).astype(u_scr.dtype)
+                u_scr[pl.ds((row * 3 + 2) * Ci, Ci), :] = (
+                    pltpu.roll(u, W - 1, 1) * mask_r
+                ).astype(u_scr.dtype)
 
+    if u_only:
+        return
     wk = wo_ref[:]                 # merged: [TR*Co, 3*NROW*Ci]; else [Co, 9*Ci]
     if merged:
         acc = jax.lax.dot_general(
@@ -663,7 +690,10 @@ def topdown_fused_chain(
     """Differentiable fully-fused FPN top-down cascade: every level runs
     the v4 kernel, and the inter-level pathway tensor ``u`` stays in the
     kernel's channels-in-sublanes layout end to end (no NHWC transpose
-    copies between levels). Backward rematerializes the unfused chain."""
+    copies between levels). Backward is ANALYTIC: the ``u``'s are
+    re-derived with the fused kernels (u-only variant) and gradients flow
+    through per-op vjps — no unfused-cascade rematerialization (see
+    ``_fused_chain_bwd``)."""
     return _fused_chain(intra, tuple(skips), tuple(weights), tile_rows,
                         interpret)
 

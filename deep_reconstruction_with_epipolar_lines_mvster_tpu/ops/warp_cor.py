@@ -153,7 +153,7 @@ def epipolar_aggregate(
         fuse_v3 = v3_fwd_eligible(
             features[1].shape, W, band, features[1].dtype
         )
-        # per-stage effective chunking, mirroring homo_warp_mxu's plan
+        # per-stage effective x margin, mirroring homo_warp_mxu's plan
         tc = next(
             (t for t in (tile_cols, 128, 64, 32, 16) if W % t == 0), 0
         )
@@ -170,7 +170,7 @@ def epipolar_aggregate(
             rel = relative_projection(proj_stacks[:, v], ref_stack)
             cxv, cyv = warp_coords_xy(rel, depth_hypo)
             cor = warp_cor_v3(
-                features[v], ref_fea, cxv, cyv, band, tile_rows, xb, tc,
+                features[v], ref_fea, cxv, cyv, band, tile_rows, xb,
                 group_dim, native=True,
             )  # [B, D, T, TR, G, W]
             cor_sum = cor.sum(axis=4)  # [B, D, T, TR, W]

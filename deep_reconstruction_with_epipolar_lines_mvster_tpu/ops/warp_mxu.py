@@ -406,6 +406,52 @@ def _v3_align_y(C: int, dtype) -> int:
     return st // math.gcd(C, st)
 
 
+def _v3_plan(src, cx, cy, band, tile_rows, xband):
+    """Shared launch plan for the v3 forward kernels (plain warp and fused
+    warp+cor): 128-lane source width pad, alignment-widened band, aligned
+    per-tile row starts, per-chunk column-window starts. ``cx``/``cy`` are
+    separate ``[B, D, H, W]`` coordinate planes (never the stacked
+    ``[..., 2]`` form, whose interleaved materialization + de-interleave
+    measured ~0.7 ms/view at the bench stage 4)."""
+    B, Hs, Ws, C = src.shape
+    _, D, H, W = cx.shape
+    align_y = _v3_align_y(C, src.dtype)
+    # Mosaic requires the HBM band-DMA slice's lane extent (Ws) to be a
+    # multiple of the 128-lane tiling; zero-pad the source width. Exact:
+    # padded columns carry zero data, and any interpolation tap that lands
+    # on them reproduces the warp's zeros-padding semantics.
+    Ws_pad = -(-Ws // 128) * 128
+    src_k = (
+        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
+        if Ws_pad != Ws
+        else src
+    )
+    # widen the band by the alignment so flooring the start never drops
+    # coverage at the far edge; (band + align_y)*C stays a 16-sublane
+    # multiple by construction
+    band_k = band + (align_y if align_y > 1 else 0)
+    N = D * (H // tile_rows)
+    yt = cy.reshape(B, N, tile_rows * W)
+    starts = jax.vmap(lambda t: _tile_starts(t, band, Hs))(yt)
+    starts = (starts // align_y) * align_y
+    starts = jnp.clip(starts, 0, max((Hs - band_k) // align_y * align_y, 0))
+    xg = cx.reshape(B, N, tile_rows, W)
+    yg = cy.reshape(B, N, tile_rows, W)
+
+    # column-chunked variant on wide stages: 128-lane-aligned source
+    # windows of xwin = roundup(xband+130, 128) columns per 128-col chunk
+    chunk = 128
+    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
+    kw = {}
+    if xwin and Ws_pad >= xwin and W % chunk == 0:
+        G = W // chunk
+        xmin = xg.reshape(B, N, tile_rows, G, chunk).min(axis=(2, 4))
+        x0 = ((jnp.floor(xmin).astype(jnp.int32) - 1) // chunk) * chunk
+        x0 = jnp.clip(x0, 0, max((Ws_pad - xwin) // chunk * chunk, 0))
+        kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
+    return src_k, xg, yg, starts.astype(jnp.int32), band_k, align_y, kw
+
+
 def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
     """Forward through the v3 flipped-layout Pallas kernel
     (ops/pallas/warp_fwd_v3). Band starts are aligned DOWN by up to
@@ -419,41 +465,12 @@ def _warp_batched_pallas_v3_fwd(src, coords, band, tile_rows, xband, tile_cols):
 
     B, Hs, Ws, C = src.shape
     _, D, H, W, _ = coords.shape
-    align_y = _v3_align_y(C, src.dtype)
-    # Mosaic requires the HBM band-DMA slice's lane extent (Ws) to be a
-    # multiple of the 128-lane tiling; zero-pad the source width. Exact:
-    # padded columns carry zero data, and any interpolation tap that lands
-    # on them reproduces the warp's zeros-padding semantics.
-    Ws_pad = -(-Ws // 128) * 128
-    src_k = (
-        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
-        if Ws_pad != Ws
-        else src
+    src_k, xg, yg, starts, band_k, align_y, kw = _v3_plan(
+        src, coords[..., 0], coords[..., 1], band, tile_rows, xband
     )
-    # widen the band by the alignment so flooring the start never drops
-    # coverage at the far edge (same precedent as the xband plan's band_al);
-    # (band + align_y)*C stays a 16-sublane multiple by construction
-    band_k = band + (align_y if align_y > 1 else 0)
-    tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
-    starts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
-    starts = (starts // align_y) * align_y
-    starts = jnp.clip(starts, 0, max((Hs - band_k) // align_y * align_y, 0))
-    N = tiles.shape[1]
-    xg = tiles[..., 0].reshape(B, N, tile_rows, W)
-    yg = tiles[..., 1].reshape(B, N, tile_rows, W)
     interpret = jax.default_backend() not in ("tpu", "axon")
-
-    chunk = 128
-    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
-    kw = {}
-    if xwin and Ws_pad >= xwin and W % chunk == 0:
-        G = W // chunk
-        xmin = xg.reshape(B, N, tile_rows, G, chunk).min(axis=(2, 4))
-        x0 = ((jnp.floor(xmin).astype(jnp.int32) - 1) // chunk) * chunk
-        x0 = jnp.clip(x0, 0, max((Ws_pad - xwin) // chunk * chunk, 0))
-        kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
     out = warp_tiles_pallas_v3(
-        src_k, xg, yg, starts.astype(jnp.int32),
+        src_k, xg, yg, starts,
         band=band_k, align_y=align_y, interpret=interpret, **kw,
     )  # [B, N, TR, C, W]
     T = H // tile_rows
@@ -474,7 +491,7 @@ def v3_fwd_eligible(src_shape, W: int, band: int, dtype,
     return (band_k * C) % sub_tile == 0 and W >= v3_min_w and band_k <= Hs
 
 
-def warp_cor_v3(src, ref, cx, cy, band, tile_rows, xband, tile_cols,
+def warp_cor_v3(src, ref, cx, cy, band, tile_rows, xband,
                 groups, native=False):
     """Warp + group-correlation in ONE v3 kernel pass (eval-only; no VJP):
     ``[B,Hs,Ws,C] x [B,H,W,C] -> [B,D,H,W,G]``. The kernel's epilogue
@@ -499,34 +516,12 @@ def warp_cor_v3(src, ref, cx, cy, band, tile_rows, xband, tile_cols,
 
     B, Hs, Ws, C = src.shape
     _, D, H, W = cx.shape
-    align_y = _v3_align_y(C, src.dtype)
-    Ws_pad = -(-Ws // 128) * 128
-    src_k = (
-        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
-        if Ws_pad != Ws
-        else src
+    src_k, xg, yg, starts, band_k, align_y, kw = _v3_plan(
+        src, cx, cy, band, tile_rows, xband
     )
-    band_k = band + (align_y if align_y > 1 else 0)
-    N = D * (H // tile_rows)
-    yt = cy.reshape(B, N, tile_rows * W)
-    starts = jax.vmap(lambda t: _tile_starts(t, band, Hs))(yt)
-    starts = (starts // align_y) * align_y
-    starts = jnp.clip(starts, 0, max((Hs - band_k) // align_y * align_y, 0))
-    xg = cx.reshape(B, N, tile_rows, W)
-    yg = cy.reshape(B, N, tile_rows, W)
     interpret = jax.default_backend() not in ("tpu", "axon")
-
-    chunk = 128
-    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
-    kw = {}
-    if xwin and Ws_pad >= xwin and W % chunk == 0:
-        G = W // chunk
-        xmin = xg.reshape(B, N, tile_rows, G, chunk).min(axis=(2, 4))
-        x0 = ((jnp.floor(xmin).astype(jnp.int32) - 1) // chunk) * chunk
-        x0 = jnp.clip(x0, 0, max((Ws_pad - xwin) // chunk * chunk, 0))
-        kw = dict(xstarts=x0.astype(jnp.int32), xwin=xwin, chunk=chunk)
     out = warp_tiles_pallas_v3(
-        src_k, xg, yg, starts.astype(jnp.int32),
+        src_k, xg, yg, starts,
         band=band_k, align_y=align_y, ref=ref.astype(src.dtype),
         groups=groups, interpret=interpret, **kw,
     )  # [B, N, TR, G, W]

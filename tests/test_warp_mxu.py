@@ -441,3 +441,45 @@ def test_fused_warp_cor_matches_two_step():
     np.testing.assert_allclose(
         np.asarray(got2), np.asarray(ref_out), atol=3e-5, rtol=1e-4
     )
+
+
+def test_xband_bwd_kernel_v2_matches_v1():
+    """The (measured-negative, kept-for-the-record) single-RMW bwd kernel
+    variant must stay numerically identical to the default v1 — exercised
+    here so the v2 body cannot silently rot."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.pallas.warp_xband_bwd import (
+        warp_tiles_pallas_xband_bwd,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.warp_mxu import (
+        _split_tiles,
+        _tile_starts,
+        _chunk_starts,
+        _split_blocks,
+    )
+
+    rng = np.random.default_rng(21)
+    src, rel, depth = _setup(B=1, D=2, H=16, W=64)
+    B, Hs, Ws, C = 1, 16, 64, 8
+    TR, band, xband, TC = 8, 16, 40, 32
+    coords = warp_coords(rel, depth)
+    tiles = jax.vmap(lambda c: _split_tiles(c, TR))(coords)
+    ystarts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
+    N = tiles.shape[1]
+    W = 64
+    xg = tiles[..., 0].reshape(B, N, TR, W)
+    yg = tiles[..., 1].reshape(B, N, TR, W)
+    blocks = jax.vmap(lambda c: _split_blocks(c, TR, TC))(coords)
+    xs = jax.vmap(lambda b: _chunk_starts(b[..., 0], xband, Ws))(blocks)
+    g = jnp.asarray(
+        rng.standard_normal((B, N, TR, W, C)).astype(np.float32)
+    )
+    outs = {}
+    for mode in ("v1", "v2"):
+        outs[mode] = warp_tiles_pallas_xband_bwd(
+            g, xg, yg, ystarts.astype(jnp.int32), xs.astype(jnp.int32),
+            (B, Hs, Ws, C), band=band, xband=xband, tile_cols=TC,
+            interpret=True, mode=mode,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["v2"]), np.asarray(outs["v1"]), atol=1e-5, rtol=1e-5
+    )
