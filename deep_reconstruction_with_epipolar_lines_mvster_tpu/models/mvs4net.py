@@ -157,12 +157,26 @@ class MVS4Net(nn.Module):
             hypo = jnp.asarray(hypo, dtype=jnp.float32)
 
             if cfg.reg_mode == "reg2d":
+                # pre-packed cost-volume handoff: the aggregate emits the
+                # width-packed arrangement directly from its kernel-native
+                # accumulation (one relayout instead of the native->NHWC->
+                # packed pair). Gated off under pos-enc (operates on the
+                # unpacked per-bin volume).
+                from .reg import reg2d_pack_factor
+
+                pack_out = (
+                    reg2d_pack_factor(w, cfg.reg_channel, cfg.agg_type,
+                                      cfg.pack_conv)
+                    if cfg.pos_enc == 0 else 1
+                )
                 regnet = maybe_remat(Reg2D)(
                     base_channels=cfg.reg_channel, agg_type=cfg.agg_type,
-                    depth=cfg.ndepths[s], pack=cfg.pack_conv, dtype=dtype,
+                    depth=cfg.ndepths[s], pack=cfg.pack_conv,
+                    prepacked_k=pack_out, dtype=dtype,
                     name=f"reg_stage{s + 1}",
                 )
             else:
+                pack_out = 1
                 regnet = maybe_remat(Reg3D)(
                     base_channels=cfg.reg_channel, down_size=REG3D_DOWN_SIZE[s],
                     depth=cfg.ndepths[s], pack=cfg.pack_conv, dtype=dtype,
@@ -229,6 +243,7 @@ class MVS4Net(nn.Module):
                 warp_xband=cfg.warp_xband,
                 warp_tile_cols=cfg.warp_tile_cols,
                 fuse_cor=cfg.fuse_warp_cor,
+                pack_out=pack_out,
             )
             if spatial:
                 # crop the halo away, reassemble full-H maps across shards

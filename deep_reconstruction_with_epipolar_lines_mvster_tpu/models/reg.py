@@ -30,6 +30,19 @@ from .layers import (
 )
 
 
+def reg2d_pack_factor(W: int, base_channels: int, agg_type: str,
+                      pack: bool) -> int:
+    """The width-pack factor Reg2D will pick for a logical-width-``W``
+    volume (1 when packing is ineligible). Callers that pre-pack the cost
+    volume (stagenet ``pack_out``) MUST use this so the handoff factor and
+    the U-Net's own choice agree."""
+    if not (pack and agg_type == "ConvBnReLU3D" and W % 8 == 0):
+        return 1
+    from ..ops.packed_conv import pick_pack_levels
+
+    return pick_pack_levels(W, base_channels, 4)[0]
+
+
 class Reg2D(nn.Module):
     in_channels: int = 8     # kept for doc parity; flax infers from input
     base_channels: int = 8
@@ -39,6 +52,10 @@ class Reg2D(nn.Module):
                              # ops/packed_conv.py — ~5x faster on TPU at the
                              # full-res stages; plain ConvBnReLU3D mid
                              # blocks only)
+    prepacked_k: int = 1     # input arrives ALREADY width-packed by this
+                             # factor ([N, H, W/k, k*C] — the aggregate's
+                             # pack_out); must equal the k0 this module
+                             # would pick for the logical width
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -51,14 +68,24 @@ class Reg2D(nn.Module):
         s122 = dict(kernel=(1, 3, 3), stride=(1, 2, 2))
         d = self.depth
 
+        W_log = x.shape[-2] * self.prepacked_k
         # 8 | W required by the three stride-2 levels (as for the unpacked
         # U-Net's residual adds); fall back to unpacked execution otherwise
-        if self.pack and self.agg_type == "ConvBnReLU3D" and x.shape[-2] % 8 == 0:
+        if (
+            (self.pack or self.prepacked_k > 1)
+            and self.agg_type == "ConvBnReLU3D"
+            and W_log % 8 == 0
+        ):
             from ..ops.packed_conv import pick_pack_levels
 
-            k0, k1, k2, k3 = pick_pack_levels(x.shape[-2], b, 4)
+            k0, k1, k2, k3 = pick_pack_levels(W_log, b, 4)
         else:
             k0 = k1 = k2 = k3 = 1
+        if self.prepacked_k > 1 and k0 != self.prepacked_k:
+            raise ValueError(
+                f"prepacked_k={self.prepacked_k} but Reg2D picks k0={k0} "
+                f"for W={W_log} (caller must use models.reg.reg2d_pack_factor)"
+            )
 
         def mk_mid(ch, k):
             kw = dict(depth=d, dtype=self.dtype)
@@ -66,7 +93,7 @@ class Reg2D(nn.Module):
                 kw.update(k_in=k, k_out=k)
             return mid(ch, **kw)
 
-        xp = pack_w(x, k0)
+        xp = x if self.prepacked_k > 1 else pack_w(x, k0)
         conv0 = ConvBnReLU3D(
             b, dtype=self.dtype, k_in=k0, k_out=k0, **k133
         )(xp, train=train)

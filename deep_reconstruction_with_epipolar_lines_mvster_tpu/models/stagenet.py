@@ -44,6 +44,7 @@ def run_stage(
     warp_xband: int = 0,
     warp_tile_cols: int = 128,
     fuse_cor: bool = True,
+    pack_out: int = 1,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape
     cost = epipolar_aggregate(
@@ -55,7 +56,10 @@ def run_stage(
         # eval-only fused warp+group-cor kernel (no VJP; the train path
         # keeps the differentiable two-step v3/hybrid warp)
         fuse_cor=fuse_cor and not train,
-    )  # folded [B*D, h, w, G]
+        # pack_out > 1: emit the volume width-packed for a prepacked reg
+        # U-Net (caller guarantees the regnet expects exactly this factor)
+        pack_out=pack_out,
+    )  # folded [B*D, h, w, G]; packed [B*D, h, w/k, k*G] when pack_out=k>1
 
     score = regnet(cost).astype(jnp.float32).reshape(B, D, H, W)
 

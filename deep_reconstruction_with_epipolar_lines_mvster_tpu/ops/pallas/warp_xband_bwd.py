@@ -172,6 +172,163 @@ def _kernel_v2(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, dsrc_ref,
     wr.wait()
 
 
+def _kernel_v3(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, dsrc_ref,
+               out_ref, wx_vmem, wyg_vmem, win_vmem, sem_r, sem_w, *,
+               band: int, xband: int, tile_rows: int, tile_cols: int,
+               channels: int, align_y: int):
+    """v3: merge the tile's rows into ONE matmul per column chunk.
+
+    v1 contracts per row — K = tile_cols (only 32/64 at the narrow train
+    stages), so the MXU streams 8 underfilled matmuls per chunk plus 8
+    accumulate adds; the r4g trace shows the s2/s3 backwards running far
+    off the matmul roofline while s4 (K=128) is near it. v3 stages the
+    per-row weight factors into ``[TR*TC, .]`` VMEM scratches (static
+    sublane-offset stores — the direct [TR,TC]->[TR*TC,1] reshape is a
+    lane->sublane relayout Mosaic refuses) and contracts all P = TR*TC
+    rows at once. The deep-K matmul streams at full rate, which also
+    makes bf16 factors (``factor_dtype``) profitable — the r4 bf16
+    negative was measured on the overhead-bound per-row form."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    TC = tile_cols
+    TR = tile_rows
+    G = x_ref.shape[3] // TC
+    y0 = pl.multiple_of(ystarts_ref[b, n], align_y)
+    ystart = pl.multiple_of(y0 * C, align_y * C)
+    y0f = y0.astype(jnp.float32)
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 1)
+    foldT = (ccol == jrow % C).astype(jnp.float32).T  # [C, band*C]
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (TC, band * C), 1) // C
+    ).astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (TC, xband), 1).astype(
+        jnp.float32
+    )
+
+    for g in range(G):
+        x0 = pl.multiple_of(xstarts_ref[b, n, g], 8)
+        x0f = xstarts_ref[b, n, g].astype(jnp.float32)
+
+        for r in range(TR):
+            x = jnp.transpose(
+                x_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )  # [TC, 1]
+            y = jnp.transpose(
+                y_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )
+            gr = g_ref[0, 0, r, pl.ds(g * TC, TC)]  # [TC, C]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (x0f + js)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + kidx)))
+            gexp = jnp.dot(
+                gr.astype(jnp.float32), foldT,
+                preferred_element_type=jnp.float32,
+            )
+            wx_vmem[pl.ds(r * TC, TC), :] = wx.astype(wx_vmem.dtype)
+            wyg_vmem[pl.ds(r * TC, TC), :] = (wy * gexp).astype(
+                wyg_vmem.dtype
+            )
+
+        contrib = jax.lax.dot_general(
+            wx_vmem[...], wyg_vmem[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [xband, band*C]
+
+        rd = pltpu.make_async_copy(
+            out_ref.at[b, pl.ds(x0, xband), pl.ds(ystart, band * C)],
+            win_vmem, sem_r,
+        )
+        rd.start()
+        rd.wait()
+        win_vmem[...] += contrib
+        wr = pltpu.make_async_copy(
+            win_vmem,
+            out_ref.at[b, pl.ds(x0, xband), pl.ds(ystart, band * C)],
+            sem_w,
+        )
+        wr.start()
+        wr.wait()
+
+
+def _kernel_v4(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, out_ref,
+               wx_vmem, wyg_vmem, acc_vmem, sem_w, *, band: int, xband: int,
+               tile_rows: int, tile_cols: int, channels: int, align_y: int):
+    """v4: merged-row matmul (v3) + the WHOLE per-view ``dsrc`` accumulated
+    in one VMEM scratch, flushed to HBM once per batch element.
+
+    v1/v3 issue 2·G serialized read-modify-write DMAs per grid cell (rd.wait
+    -> add -> wr.wait); at the narrow train stages those round-trips, not
+    the matmuls, dominate (r4g trace: s2 8 ms/view for 1/16 of s4's FLOPs).
+    The full transposed accumulator ``[Ws, Hs*C]`` f32 is small enough for
+    VMEM at every DTU stage (s4 10.5 MB, s3 5.2, s2 2.6 — caller gates on
+    it fitting), so v4 zeroes it at n==0, adds each chunk's contribution
+    with aligned VMEM dynamic slices (the same 128-lane/8-sublane window
+    starts the HBM RMW used), and DMAs the block out at the last grid cell
+    of the batch element. Zero HBM traffic until the single flush."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    N = pl.num_programs(1)
+    C = channels
+    TC = tile_cols
+    TR = tile_rows
+    G = x_ref.shape[3] // TC
+    y0 = pl.multiple_of(ystarts_ref[b, n], align_y)
+    ystart = pl.multiple_of(y0 * C, align_y * C)
+    y0f = y0.astype(jnp.float32)
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 1)
+    foldT = (ccol == jrow % C).astype(jnp.float32).T  # [C, band*C]
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (TC, band * C), 1) // C
+    ).astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (TC, xband), 1).astype(
+        jnp.float32
+    )
+
+    @pl.when(n == 0)
+    def _zero():
+        acc_vmem[...] = jnp.zeros_like(acc_vmem)
+
+    for g in range(G):
+        x0 = pl.multiple_of(xstarts_ref[b, n, g], 8)
+        x0f = xstarts_ref[b, n, g].astype(jnp.float32)
+
+        for r in range(TR):
+            x = jnp.transpose(
+                x_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )  # [TC, 1]
+            y = jnp.transpose(
+                y_ref[0, 0, pl.ds(r, 1), pl.ds(g * TC, TC)], (1, 0)
+            )
+            gr = g_ref[0, 0, r, pl.ds(g * TC, TC)]  # [TC, C]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (x0f + js)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + kidx)))
+            gexp = jnp.dot(
+                gr.astype(jnp.float32), foldT,
+                preferred_element_type=jnp.float32,
+            )
+            wx_vmem[pl.ds(r * TC, TC), :] = wx.astype(wx_vmem.dtype)
+            wyg_vmem[pl.ds(r * TC, TC), :] = (wy * gexp).astype(
+                wyg_vmem.dtype
+            )
+
+        contrib = jax.lax.dot_general(
+            wx_vmem[...], wyg_vmem[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [xband, band*C]
+        cur = acc_vmem[pl.ds(x0, xband), pl.ds(ystart, band * C)]
+        acc_vmem[pl.ds(x0, xband), pl.ds(ystart, band * C)] = cur + contrib
+
+    @pl.when(n == N - 1)
+    def _flush():
+        wr = pltpu.make_async_copy(acc_vmem, out_ref.at[b], sem_w)
+        wr.start()
+        wr.wait()
+
+
 def warp_tiles_pallas_xband_bwd(
     g: jnp.ndarray,         # [B, N, TR, W, C] f32/bf16 cotangent
     xcoords: jnp.ndarray,   # [B, N, TR, W] f32
@@ -186,12 +343,62 @@ def warp_tiles_pallas_xband_bwd(
     align_y: int = 1,
     interpret: bool = False,
     mode: str = "v1",
+    factor_dtype=jnp.float32,
 ) -> jnp.ndarray:           # [B, Hs, Ws, C] f32
     B, Hs, Ws, C = src_shape
     _, N, TR, W = xcoords.shape
+
+    if mode == "v4":
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, N),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, TR, W), lambda b, n, ys, xs: (b, n, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, TR, W), lambda b, n, ys, xs: (b, n, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, TR, W, C), lambda b, n, ys, xs: (b, n, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((TR * tile_cols, xband), factor_dtype),
+                pltpu.VMEM((TR * tile_cols, band * C), factor_dtype),
+                pltpu.VMEM((Ws, Hs * C), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+        dsrc_t = pl.pallas_call(
+            functools.partial(
+                _kernel_v4, band=band, xband=xband, tile_rows=TR,
+                tile_cols=tile_cols, channels=C, align_y=align_y,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, Ws, Hs * C), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(ystarts, xstarts, xcoords, ycoords, g)
+        return jnp.swapaxes(dsrc_t.reshape(B, Ws, Hs, C), 1, 2)
+
     dsrc0 = jnp.zeros((B, Ws, Hs * C), jnp.float32)
 
     v2 = mode == "v2"
+    if mode == "v3":
+        scratch = [
+            pltpu.VMEM((TR * tile_cols, xband), factor_dtype),
+            pltpu.VMEM((TR * tile_cols, band * C), factor_dtype),
+            pltpu.VMEM((xband, band * C), jnp.float32),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((Ws if v2 else xband, band * C), jnp.float32),
+            pltpu.VMEM((Ws if v2 else xband, band * C), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, N),
@@ -211,18 +418,12 @@ def warp_tiles_pallas_xband_bwd(
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # dsrc in/out
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        scratch_shapes=[
-            pltpu.VMEM(
-                (Ws if v2 else xband, band * C), jnp.float32
-            ),
-            pltpu.VMEM(
-                (Ws if v2 else xband, band * C), jnp.float32
-            ),
+        scratch_shapes=scratch + [
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kern = _kernel_v2 if v2 else _kernel
+    kern = {"v1": _kernel, "v2": _kernel_v2, "v3": _kernel_v3}[mode]
     dsrc_t = pl.pallas_call(
         functools.partial(
             kern, band=band, xband=xband, tile_rows=TR,

@@ -125,11 +125,19 @@ def epipolar_aggregate(
     xband: int = 0,
     tile_cols: int = 128,
     fuse_cor: bool = False,
+    pack_out: int = 1,
 ) -> jnp.ndarray:
     """Cross-view attention-weighted fused cost volume, FOLDED layout
     ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing
     batch-minor layouts that pad 5-D volumes ~5x on TPU; the consumer reg
     U-Net convolves in exactly this layout).
+
+    ``pack_out`` > 1: return the volume WIDTH-PACKED, ``[B*D, H, W/k, k*G]``
+    (exactly ``packed_conv.pack_w`` of the folded volume) — the consumer reg
+    U-Net packs its input anyway, and emitting the packed arrangement
+    straight out of the kernel-native accumulation replaces the
+    native->NHWC->packed relayout PAIR with one transpose (the r4g trace
+    shows the pair costing ~2 copies of the full volume per stage).
 
     Faithful to the reference accumulation (mvs4net_utils.py:1078-1100)
     including the 1e-8 epsilon seed of the weight sum and the
@@ -184,7 +192,18 @@ def epipolar_aggregate(
             norm = norm + w
         out = acc / norm  # [B, D, T, TR, G, W]
         out = out.transpose(0, 1, 2, 3, 5, 4)  # ONE relayout
-        return out.reshape(B * D, H, W, group_dim)
+        out = out.reshape(B * D, H, W, group_dim)
+        if pack_out > 1:
+            # NOTE (r5 trace, _probe_r5a.out): expressing the pack as a
+            # direct [.., G, Wq, k] -> [.., Wq, k, G] transpose compiled to
+            # copy+reshape+copy (2.6 ms at the bench s4) — WORSE than this
+            # transpose + free pack_w reshape order (~2.1 ms r4g). XLA sees
+            # through module boundaries; the relayout pair needs a kernel-
+            # level mechanism (flipped-layout reg), not expression shuffling.
+            from .packed_conv import pack_w
+
+            out = pack_w(out, pack_out)
+        return out
 
     ref_tiled = jnp.broadcast_to(
         ref_fea[:, None], (B, D, H, W, C)
@@ -213,4 +232,9 @@ def epipolar_aggregate(
             w = jnp.broadcast_to(w[:, None], (B, D, H, W)).reshape(B * D, H, W, 1)
             acc = acc + w * cor
             norm = norm + w
-    return acc / norm  # [B*D, H, W, G]
+    out = acc / norm  # [B*D, H, W, G]
+    if pack_out > 1:
+        from .packed_conv import pack_w
+
+        out = pack_w(out, pack_out)  # free reshape of the folded NHWC volume
+    return out

@@ -370,6 +370,19 @@ def _warp_batched_pallas_xband_fwd(src, coords, band, tile_rows, xband, tile_col
     return out.reshape(B, D, H, W, C), _save(src, coords)
 
 
+# Backward-kernel selector (module-level: the bwd runs inside custom_vjp
+# rules whose nondiff args are already saturated with geometry; jit captures
+# the value at trace time). v1 = per-row matmuls; v3 = merged-row big-K
+# matmul per chunk (see ops/pallas/warp_xband_bwd._kernel_v3). factor_dtype
+# bfloat16 halves the v3 matmul cost at ~2^-9 relative weight error.
+_BWD_KERNEL = {"mode": "v1", "factor_dtype": jnp.float32}
+
+
+def set_bwd_kernel(mode: str = "v1", factor_dtype=jnp.float32) -> None:
+    _BWD_KERNEL["mode"] = mode
+    _BWD_KERNEL["factor_dtype"] = factor_dtype
+
+
 def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
     """dL/dsrc through the x-banded Pallas backward kernel (HBM RMW
     accumulation over the sequential grid — ops/pallas/warp_xband_bwd)."""
@@ -387,7 +400,8 @@ def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
     dsrc = warp_tiles_pallas_xband_bwd(
         g_blocks, xg, yg, ystarts, xstarts, (B, Hs, Ws, C),
         band=band_al, xband=xband_al, tile_cols=tile_cols, align_y=align_y,
-        interpret=interpret,
+        interpret=interpret, mode=_BWD_KERNEL["mode"],
+        factor_dtype=_BWD_KERNEL["factor_dtype"],
     )
     return dsrc.astype(src.dtype), None
 

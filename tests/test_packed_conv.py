@@ -191,6 +191,53 @@ def test_fpn4_packed_matches_unpacked():
         )
 
 
+@pytest.mark.slow
+def test_full_model_prepacked_fused_cor_matches_gather():
+    """Flagship kernel set (mxu_v3 + fuse_cor + fused_topdown + pack_conv)
+    at a v3-eligible width (stage-4 W=256): the PREPACKED cost-volume
+    handoff (aggregate pack_out -> Reg2D prepacked_k, kernel-native single
+    transpose) must reproduce the plain gather/unfused model bit-for-bit
+    from identical variables."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import (
+        MVS4Net,
+    )
+
+    cfg = ModelConfig(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        ndepths=(8, 8, 4, 4), warp_impl="mxu_v3", fused_topdown=True,
+        pack_conv=True, remat=False,
+    )
+    batch = ge._example_batch(B=1, V=2, H=64, W=256)
+    mp = MVS4Net(cfg)
+    mu = MVS4Net(dataclasses.replace(
+        cfg, pack_conv=False, warp_impl="gather", fused_topdown=False
+    ))
+    vs = mp.init(
+        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], train=False,
+    )
+    got = mp.apply(
+        vs, batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+        train=False,
+    )
+    ref = mu.apply(
+        vs, batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+        train=False,
+    )
+    for s in range(1, 5):
+        np.testing.assert_allclose(
+            np.asarray(got[f"stage{s}"]["depth"]),
+            np.asarray(ref[f"stage{s}"]["depth"]),
+            atol=2e-2,
+        )
+
+
 def test_full_model_packed_matches_unpacked():
     """MVS4Net with pack_conv=True produces the same depths/confidence as
     the unpacked model from identical variables (eval mode)."""

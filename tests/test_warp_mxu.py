@@ -441,6 +441,22 @@ def test_fused_warp_cor_matches_two_step():
     np.testing.assert_allclose(
         np.asarray(got2), np.asarray(ref_out), atol=3e-5, rtol=1e-4
     )
+    # pack_out: the width-packed output must be exactly pack_w(unpacked)
+    # on BOTH the fused (kernel-native single transpose) and plain paths
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.packed_conv import (
+        pack_w,
+    )
+
+    for impl, fc in (("mxu_v3", True), ("gather", False)):
+        unpacked = epipolar_aggregate(
+            feats, projs, depth, impl=impl, fuse_cor=fc, **kw
+        )
+        packed = epipolar_aggregate(
+            feats, projs, depth, impl=impl, fuse_cor=fc, pack_out=16, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed), np.asarray(pack_w(unpacked, 16))
+        )
 
 
 def test_xband_bwd_kernel_v2_matches_v1():
@@ -474,7 +490,7 @@ def test_xband_bwd_kernel_v2_matches_v1():
         rng.standard_normal((B, N, TR, W, C)).astype(np.float32)
     )
     outs = {}
-    for mode in ("v1", "v2"):
+    for mode in ("v1", "v2", "v3", "v4"):
         outs[mode] = warp_tiles_pallas_xband_bwd(
             g, xg, yg, ystarts.astype(jnp.int32), xs.astype(jnp.int32),
             (B, Hs, Ws, C), band=band, xband=xband, tile_cols=TC,
@@ -482,4 +498,23 @@ def test_xband_bwd_kernel_v2_matches_v1():
         )
     np.testing.assert_allclose(
         np.asarray(outs["v2"]), np.asarray(outs["v1"]), atol=1e-5, rtol=1e-5
+    )
+    # v3 (merged-row big-K matmul) and v4 (v3 + full-VMEM accumulator) are
+    # the same contraction in a different association order — f32 factors
+    # must agree to accumulation noise
+    for m in ("v3", "v4"):
+        np.testing.assert_allclose(
+            np.asarray(outs[m]), np.asarray(outs["v1"]), atol=1e-4,
+            rtol=1e-4, err_msg=m,
+        )
+    # bf16 factors: ~2^-9 relative error per weight factor
+    out_bf = warp_tiles_pallas_xband_bwd(
+        g, xg, yg, ystarts.astype(jnp.int32), xs.astype(jnp.int32),
+        (B, Hs, Ws, C), band=band, xband=xband, tile_cols=TC,
+        interpret=True, mode="v3", factor_dtype=jnp.bfloat16,
+    )
+    ref = np.asarray(outs["v1"])
+    np.testing.assert_allclose(
+        np.asarray(out_bf), ref, atol=3e-2 * max(1.0, np.abs(ref).max()),
+        rtol=3e-2,
     )
