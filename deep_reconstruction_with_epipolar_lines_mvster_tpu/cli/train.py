@@ -88,6 +88,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "custom_vjp boundary forces padded residual "
                         "layouts under grad), mxu_v3 for eval on TPU")
     p.add_argument("--warp_band", type=int, default=16)
+    p.add_argument("--warp_bwd", default="auto",
+                   choices=["auto", "v1", "v2", "v3", "v4"],
+                   help="x-banded Pallas warp-backward kernel variant "
+                        "(ops/pallas/warp_xband_bwd.py). auto: v4 "
+                        "(VMEM-resident dsrc accumulator, one HBM flush "
+                        "per view; DTU train step 513 -> 433 ms, r5c) "
+                        "when it fits VMEM, else v1")
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
     p.add_argument("--warp_tile_cols", type=int, default=128)
@@ -144,6 +151,11 @@ def make_model_config(args, mode="train"):
             # forward whose residuals XLA lays out unpadded.
             tpu_impl = "mxu_v3" if mode == "eval" else "mxu_hybrid"
             warp_impl = tpu_impl if on_tpu else "mxu_hybrid"
+
+    if getattr(args, "warp_bwd", None):
+        from ..ops.warp_mxu import set_bwd_kernel
+
+        set_bwd_kernel(args.warp_bwd)
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),

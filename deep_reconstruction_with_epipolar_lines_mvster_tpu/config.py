@@ -99,6 +99,11 @@ class ModelConfig:
     fuse_warp_cor: bool = True          # eval-only fused warp+group-cor
                                         # Pallas pass under warp_impl=mxu_v3
                                         # (ops/warp_mxu.warp_cor_v3)
+    kernel_coords: bool = True          # with fuse_warp_cor: compute the
+                                        # warp coordinates + band/chunk plan
+                                        # INSIDE the kernel from (rel, hypo)
+                                        # — no [B,D,H,W] coord planes
+                                        # (ops/warp_mxu.warp_cor_v3_ik)
 
     @property
     def compute_dtype(self):

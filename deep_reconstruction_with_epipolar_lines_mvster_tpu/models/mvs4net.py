@@ -243,6 +243,7 @@ class MVS4Net(nn.Module):
                 warp_xband=cfg.warp_xband,
                 warp_tile_cols=cfg.warp_tile_cols,
                 fuse_cor=cfg.fuse_warp_cor,
+                kernel_coords=cfg.kernel_coords,
                 pack_out=pack_out,
             )
             if spatial:

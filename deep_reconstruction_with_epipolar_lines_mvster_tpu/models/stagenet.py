@@ -44,6 +44,7 @@ def run_stage(
     warp_xband: int = 0,
     warp_tile_cols: int = 128,
     fuse_cor: bool = True,
+    kernel_coords: bool = True,
     pack_out: int = 1,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape
@@ -56,6 +57,7 @@ def run_stage(
         # eval-only fused warp+group-cor kernel (no VJP; the train path
         # keeps the differentiable two-step v3/hybrid warp)
         fuse_cor=fuse_cor and not train,
+        kernel_coords=kernel_coords,
         # pack_out > 1: emit the volume width-packed for a prepacked reg
         # U-Net (caller guarantees the regnet expects exactly this factor)
         pack_out=pack_out,

@@ -275,6 +275,238 @@ def _kernel_xchunk_cor(starts_ref, xstarts_ref, x_ref, y_ref, src_hc_ref,
     jax.lax.fori_loop(0, tile_rows, row, 0, unroll=True)
 
 
+def _tile_coords_ik(rel_ref, b, tile_idx, hypo, TR, W):
+    """In-kernel plane-sweep coordinates for one row tile (the VPU half of
+    core.geometry.warp_coords_xy): lift the tile's (u, v) pixel grid to the
+    per-pixel depth hypotheses and perspective-divide with the reference's
+    z==0 guard. ``rel_ref`` holds the first three rows of the relative
+    projection, flattened ``[B, 12]`` (scalar prefetch); ``hypo`` is the
+    tile's ``[TR, W]`` depth-value rows. ~20 VPU ops per pixel — removes
+    the per-view XLA coords fusion AND its two [B, D, H, W] f32 HBM planes
+    (~0.9 ms/view at the bench stage 4, r4 trace)."""
+    v0 = (tile_idx * TR).astype(jnp.float32)
+    u = jax.lax.broadcasted_iota(jnp.int32, (TR, W), 1).astype(jnp.float32)
+    v = v0 + jax.lax.broadcasted_iota(jnp.int32, (TR, W), 0).astype(
+        jnp.float32
+    )
+    m = [rel_ref[b, i] for i in range(12)]
+    xn = (m[0] * u + m[1] * v + m[2]) * hypo + m[3]
+    yn = (m[4] * u + m[5] * v + m[6]) * hypo + m[7]
+    z = (m[8] * u + m[9] * v + m[10]) * hypo + m[11]
+    z = jnp.where(z == 0.0, 1e-9, z)
+    return xn / z, yn / z
+
+
+def _band_start_ik(ys, *, Hs, band0, band, align_y):
+    """In-kernel y-band start: EXACTLY the ``_v3_plan`` arithmetic
+    (floor(min)-1, clip at the unwidened band, align down, clip at the
+    widened band)."""
+    y0 = jnp.floor(jnp.min(ys)).astype(jnp.int32) - 1
+    y0 = jnp.clip(y0, 0, max(Hs - band0, 0))
+    y0 = (y0 // align_y) * align_y
+    y0 = jnp.clip(y0, 0, max((Hs - band) // align_y * align_y, 0))
+    return pl.multiple_of(y0, align_y)
+
+
+def _kernel_cor_ik(rel_ref, hypo_ref, src_hc_ref, ref_r, out_ref,
+                   rt_vmem, sem, *, band: int, band0: int, tile_rows: int,
+                   channels: int, align_y: int, groups: int, T_tiles: int,
+                   Hs: int):
+    """Full-width fused warp+group-cor with IN-KERNEL coordinates and band
+    plan (no xg/yg/starts inputs — see _tile_coords_ik)."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    W = hypo_ref.shape[2]
+    hypo = hypo_ref[0]                                           # [TR, W]
+    xs, ys = _tile_coords_ik(rel_ref, b, n % T_tiles, hypo, tile_rows, W)
+    y0 = _band_start_ik(ys, Hs=Hs, band0=band0, band=band, align_y=align_y)
+    start = pl.multiple_of(y0 * C, align_y * C)
+
+    cp = pltpu.make_async_copy(
+        src_hc_ref.at[b, pl.ds(start, band * C)], rt_vmem, sem
+    )
+    cp.start()
+
+    Ws = src_hc_ref.shape[2]
+    y0f = y0.astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (Ws, W), 0).astype(jnp.float32)
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (band * C, W), 0) // C
+    ).astype(jnp.float32)
+
+    cp.wait()
+    rt = rt_vmem[:]
+
+    # static Python loop: xs/ys are computed VALUES (not refs) — Mosaic has
+    # no dynamic vector slice, so the row index must be trace-time constant
+    for r in range(tile_rows):
+        x = xs[r]
+        y = ys[r]
+        wxT = jnp.maximum(0.0, 1.0 - jnp.abs(x[None, :] - js))
+        zt = jax.lax.dot_general(
+            rt, wxT.astype(rt.dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        wyT = jnp.maximum(0.0, 1.0 - jnp.abs(y[None, :] - (y0f + kidx)))
+        prod = wyT * zt
+        acc = prod[0:C, :]
+        for k in range(1, band):
+            acc = acc + prod[k * C : (k + 1) * C, :]
+        refr = ref_r[0, 0, r * C : (r + 1) * C, :].astype(jnp.float32)
+        out_ref[0, 0, r] = _group_mean(acc * refr, C, groups).astype(
+            out_ref.dtype
+        )
+
+
+def _kernel_xchunk_cor_ik(rel_ref, hypo_ref, src_hc_ref, ref_r, out_ref,
+                          rt_vmem, sem, *, band: int, band0: int,
+                          tile_rows: int, channels: int, align_y: int,
+                          xwin: int, chunk: int, groups: int, T_tiles: int,
+                          Hs: int):
+    """Column-chunked fused warp+group-cor with IN-KERNEL coordinates and
+    band/chunk plan."""
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    C = channels
+    W = hypo_ref.shape[2]
+    G = W // chunk
+    Ws_pad = src_hc_ref.shape[2]
+    hypo = hypo_ref[0]
+    xs, ys = _tile_coords_ik(rel_ref, b, n % T_tiles, hypo, tile_rows, W)
+    y0 = _band_start_ik(ys, Hs=Hs, band0=band0, band=band, align_y=align_y)
+    start = pl.multiple_of(y0 * C, align_y * C)
+
+    cp = pltpu.make_async_copy(
+        src_hc_ref.at[b, pl.ds(start, band * C)], rt_vmem, sem
+    )
+    cp.start()
+
+    y0f = y0.astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (xwin, chunk), 0).astype(
+        jnp.float32
+    )
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (band * C, chunk), 0) // C
+    ).astype(jnp.float32)
+
+    cp.wait()
+
+    xmax0 = max((Ws_pad - xwin) // chunk * chunk, 0)
+
+    # per-chunk column-window starts (the _v3_plan kw arithmetic) from the
+    # chunk's x min over ALL tile rows — row-independent, computed once
+    x0s = []
+    for g in range(G):
+        minx = jnp.min(xs[:, g * chunk : (g + 1) * chunk])
+        x0 = (jnp.floor(minx).astype(jnp.int32) - 1) // chunk * chunk
+        x0s.append(pl.multiple_of(jnp.clip(x0, 0, xmax0), chunk))
+
+    # static Python loops: xs/ys are computed VALUES (not refs) — Mosaic has
+    # no dynamic vector slice, so the row index must be trace-time constant
+    for r in range(tile_rows):
+        for g in range(G):
+            x0 = x0s[g]
+            x = xs[r, g * chunk : (g + 1) * chunk]
+            y = ys[r, g * chunk : (g + 1) * chunk]
+            wxT = jnp.maximum(
+                0.0,
+                1.0 - jnp.abs(x[None, :] - (x0.astype(jnp.float32) + js)),
+            )
+            rt = rt_vmem[:, pl.ds(x0, xwin)]
+            zt = jax.lax.dot_general(
+                rt, wxT.astype(rt.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wyT = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y[None, :] - (y0f + kidx))
+            )
+            prod = wyT * zt
+            acc = prod[0:C, :]
+            for k in range(1, band):
+                acc = acc + prod[k * C : (k + 1) * C, :]
+            refr = ref_r[
+                0, 0, r * C : (r + 1) * C, g * chunk : (g + 1) * chunk
+            ].astype(jnp.float32)
+            out_ref[0, 0, r, :, g * chunk : (g + 1) * chunk] = _group_mean(
+                acc * refr, C, groups
+            ).astype(out_ref.dtype)
+
+
+def warp_cor_tiles_pallas_v3_ik(
+    src: jnp.ndarray,        # [B, Hs, Ws(128-padded), C]
+    rel12: jnp.ndarray,      # [B, 12] f32 — rows 0..2 of rel_proj, flat
+    hypo: jnp.ndarray,       # [B, D, H, W] f32 depth hypotheses
+    ref: jnp.ndarray,        # [B, H, W, C]
+    *,
+    band: int,               # alignment-widened band (as _v3_plan)
+    band0: int,              # pre-widen band (the plan's first clip)
+    align_y: int,
+    groups: int,
+    tile_rows: int,
+    xwin: int = 0,           # 0 = full-width contraction
+    chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:            # [B, N, TR, groups, W] kernel-native
+    """Fused warp + group-correlation with coordinates, y-band and column
+    plan ALL computed in-kernel from (rel12, hypo) — no [B, D, H, W]
+    coordinate planes, no XLA plan reductions."""
+    B, Hs, Ws, C = src.shape
+    _, D, H, W = hypo.shape
+    TR = tile_rows
+    N = D * (H // TR)
+    T_tiles = H // TR
+    src_hc = jnp.swapaxes(src, 2, 3).reshape(B, Hs * C, Ws)
+    hypo_r = hypo.reshape(B, N * TR, W).astype(jnp.float32)
+    ref_t = jnp.swapaxes(ref, 2, 3).reshape(B, T_tiles, TR * C, W)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, TR, W), lambda b, n, *_: (b, n, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec(
+            (1, 1, TR * C, W),
+            lambda b, n, *_: (b, n % T_tiles, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, TR, groups, W),
+            lambda b, n, *_: (b, n, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band * C, Ws), src.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    if xwin:
+        kern = functools.partial(
+            _kernel_xchunk_cor_ik, band=band, band0=band0, tile_rows=TR,
+            channels=C, align_y=align_y, xwin=xwin, chunk=chunk,
+            groups=groups, T_tiles=T_tiles, Hs=Hs,
+        )
+    else:
+        kern = functools.partial(
+            _kernel_cor_ik, band=band, band0=band0, tile_rows=TR,
+            channels=C, align_y=align_y, groups=groups, T_tiles=T_tiles,
+            Hs=Hs,
+        )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, N, TR, groups, W), src.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rel12.astype(jnp.float32), hypo_r, src_hc, ref_t)
+
+
 def warp_tiles_pallas_v3(
     src: jnp.ndarray,       # [B, Hs, Ws, C]
     xcoords: jnp.ndarray,   # [B, N, TR, W] f32

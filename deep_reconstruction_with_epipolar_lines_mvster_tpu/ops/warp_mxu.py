@@ -372,15 +372,42 @@ def _warp_batched_pallas_xband_fwd(src, coords, band, tile_rows, xband, tile_col
 
 # Backward-kernel selector (module-level: the bwd runs inside custom_vjp
 # rules whose nondiff args are already saturated with geometry; jit captures
-# the value at trace time). v1 = per-row matmuls; v3 = merged-row big-K
-# matmul per chunk (see ops/pallas/warp_xband_bwd._kernel_v3). factor_dtype
-# bfloat16 halves the v3 matmul cost at ~2^-9 relative weight error.
-_BWD_KERNEL = {"mode": "v1", "factor_dtype": jnp.float32}
+# the value at trace time). v1 = per-row matmuls + per-chunk HBM RMW;
+# v3 = merged-row big-K matmul per chunk; v4 = merged-row matmul + the WHOLE
+# per-view dsrc accumulated in VMEM, one HBM flush per batch element
+# (ops/pallas/warp_xband_bwd). "auto" picks v4 when its VMEM accumulator
+# fits (every DTU stage; measured r5c: DTU train step 513 -> 433 ms/step,
+# loss identical), else v1. factor_dtype bfloat16 halves the merged-matmul
+# cost at ~2^-9 relative weight error (measured neutral at the DTU recipe).
+_BWD_KERNEL = {"mode": "auto", "factor_dtype": jnp.float32}
+
+# VMEM budget for the v4 accumulator + factor scratches, leaving ~1.5 MB
+# of the 16 MB core VMEM for the double-buffered coordinate/cotangent
+# blocks (~0.6 MB at the DTU stage-4 geometry). DTU s4 needs 12.94 MiB
+# (acc [768, 512*8] f32 + factors) and MUST stay inside the budget — it is
+# the stage where v4 wins most (17.7 -> ~12 ms/view, _probe_r5c: full
+# train step 513 -> 433 ms with v4 at every stage).
+_V4_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def set_bwd_kernel(mode: str = "v1", factor_dtype=jnp.float32) -> None:
+def set_bwd_kernel(mode: str = "auto", factor_dtype=jnp.float32) -> None:
     _BWD_KERNEL["mode"] = mode
     _BWD_KERNEL["factor_dtype"] = factor_dtype
+
+
+def _resolve_bwd_mode(src_shape, band_al, xband_al, tile_rows, tile_cols):
+    """'auto' -> v4 when the full-view f32 accumulator [Ws, Hs*C] plus the
+    merged-row factor scratches fit the VMEM budget, else v1."""
+    mode = _BWD_KERNEL["mode"]
+    if mode != "auto":
+        return mode
+    B, Hs, Ws, C = src_shape
+    fsize = jnp.dtype(_BWD_KERNEL["factor_dtype"]).itemsize
+    need = (
+        Ws * Hs * C * 4
+        + tile_rows * tile_cols * (xband_al + band_al * C) * fsize
+    )
+    return "v4" if need <= _V4_VMEM_BUDGET else "v1"
 
 
 def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
@@ -400,7 +427,9 @@ def _warp_batched_pallas_xband_bwd(band, tile_rows, xband, tile_cols, res, g):
     dsrc = warp_tiles_pallas_xband_bwd(
         g_blocks, xg, yg, ystarts, xstarts, (B, Hs, Ws, C),
         band=band_al, xband=xband_al, tile_cols=tile_cols, align_y=align_y,
-        interpret=interpret, mode=_BWD_KERNEL["mode"],
+        interpret=interpret,
+        mode=_resolve_bwd_mode(src.shape, band_al, xband_al,
+                               tile_rows, tile_cols),
         factor_dtype=_BWD_KERNEL["factor_dtype"],
     )
     return dsrc.astype(src.dtype), None
@@ -545,6 +574,44 @@ def warp_cor_v3(src, ref, cx, cy, band, tile_rows, xband,
         return out
     out = out.transpose(0, 1, 2, 3, 5, 4)
     return out.reshape(B, D, H, W, groups)
+
+
+def warp_cor_v3_ik(src, ref, rel_proj, depth_hypo, band, tile_rows, xband,
+                   groups):
+    """``warp_cor_v3`` with coordinates + band/chunk plan computed INSIDE
+    the kernel from (rel_proj, depth_hypo)
+    (ops/pallas/warp_fwd_v3.warp_cor_tiles_pallas_v3_ik): no per-view
+    [B, D, H, W] coordinate planes in HBM and no XLA plan reductions
+    (~0.9 ms/view of coords fusions at the bench stage 4, r4 trace).
+    Returns the KERNEL-NATIVE layout ``[B, D, T, TR, G, W]`` (the fused
+    accumulation path's input). Same eligibility as ``warp_cor_v3``;
+    values equal up to f32 rounding of the coordinate arithmetic (the
+    bilinear weights are continuous in the coordinates)."""
+    from .pallas.warp_fwd_v3 import warp_cor_tiles_pallas_v3_ik
+
+    B, Hs, Ws, C = src.shape
+    _, D, H, W = depth_hypo.shape
+    align_y = _v3_align_y(C, src.dtype)
+    Ws_pad = -(-Ws // 128) * 128
+    src_k = (
+        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
+        if Ws_pad != Ws
+        else src
+    )
+    band_k = band + (align_y if align_y > 1 else 0)
+    chunk = 128
+    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
+    if not (xwin and Ws_pad >= xwin and W % chunk == 0):
+        xwin = 0
+    rel12 = rel_proj[:, :3, :].reshape(B, 12)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = warp_cor_tiles_pallas_v3_ik(
+        src_k, rel12, depth_hypo, ref.astype(src.dtype),
+        band=band_k, band0=band, align_y=align_y, groups=groups,
+        tile_rows=tile_rows, xwin=xwin, chunk=chunk, interpret=interpret,
+    )  # [B, N, TR, G, W]
+    T = H // tile_rows
+    return out.reshape(B, D, T, tile_rows, groups, W)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

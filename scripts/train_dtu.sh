@@ -58,3 +58,6 @@ python train_mvs4.py \
 # coverage-0 on the bench geometry via ops.warp_mxu.band_coverage — for a
 # new dataset/rig, check coverage first or drop back to the conservative
 # defaults (16/192).
+# The warp-backward kernel defaults to --warp_bwd auto = v4 (VMEM-resident
+# dsrc accumulator): this recipe measured 513 -> 433 ms/step, loss
+# identical (_probe_r5c, BENCH_NOTES round 5).

@@ -430,11 +430,23 @@ def test_fused_warp_cor_matches_two_step():
         band=16, tile_rows=8, xband=96, tile_cols=64,
     )
     ref_out = epipolar_aggregate(feats, projs, depth, impl="gather", **kw)
+    # default fused path computes coordinates IN-KERNEL (warp_cor_v3_ik):
+    # explicit m0*u+m1*v+m2 vs XLA's einsum differ by f32 rounding of
+    # O(1e3) coordinates (~2e-4 weight shift) — far below the flagship's
+    # bf16 quantization; the bilinear weights are continuous in coords
     got = epipolar_aggregate(
         feats, projs, depth, impl="mxu_v3", fuse_cor=True, **kw
     )
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(ref_out), atol=3e-5, rtol=1e-4
+        np.asarray(got), np.asarray(ref_out), atol=1e-3, rtol=1e-4
+    )
+    # the precomputed-coords kernel path stays at the tight tolerance
+    got_pc = epipolar_aggregate(
+        feats, projs, depth, impl="mxu_v3", fuse_cor=True,
+        kernel_coords=False, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_pc), np.asarray(ref_out), atol=3e-5, rtol=1e-4
     )
     # and the plain (unfused) v3 path agrees too, as a cross-check
     got2 = epipolar_aggregate(feats, projs, depth, impl="mxu_v3", **kw)
@@ -518,3 +530,47 @@ def test_xband_bwd_kernel_v2_matches_v1():
         np.asarray(out_bf), ref, atol=3e-2 * max(1.0, np.abs(ref).max()),
         rtol=3e-2,
     )
+
+
+def test_warp_cor_v3_ik_matches_coords_path():
+    """Fused warp+group-cor with IN-KERNEL coordinates + band/chunk plan
+    (warp_cor_v3_ik) vs the precomputed-coords kernel (warp_cor_v3), both
+    in interpret mode: chunked (W=256, xband 144), full-width fallback
+    (W=128), and the non-128-multiple width (W=320, xwin > Ws disables
+    chunking)."""
+    import __graft_entry__ as ge
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.core.geometry import (
+        relative_projection,
+        warp_coords_xy,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.warp_mxu import (
+        warp_cor_v3,
+        warp_cor_v3_ik,
+    )
+
+    rng = np.random.default_rng(0)
+    for (H, W, D, C, G, xb) in [
+        (64, 256, 4, 8, 4, 144),
+        (64, 128, 4, 8, 4, 0),
+        (32, 320, 4, 16, 4, 144),
+    ]:
+        B = 2
+        batch = ge._example_batch(B=B, V=2, H=H, W=W)
+        src = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        ref = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        pr = batch["proj_matrices"]["stage4"]
+        rel = relative_projection(pr[:, 1], pr[:, 0])
+        hypo = jnp.asarray(
+            np.linspace(425.0, 935.0, D)[None, :, None, None]
+            * np.ones((B, D, H, W)),
+            jnp.float32,
+        )
+        cx, cy = warp_coords_xy(rel, hypo)
+        a = warp_cor_v3(src, ref, cx, cy, 12, 8, xb, G, native=True)
+        b = warp_cor_v3_ik(src, ref, rel, hypo, 12, 8, xb, G)
+        # tolerance: f32 rounding of the in-kernel coordinate arithmetic
+        # (explicit muls vs XLA einsum) shifts bilinear weights ~1e-4
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(a, np.float32),
+            atol=1e-3, err_msg=f"H{H} W{W} xb{xb}",
+        )
