@@ -154,6 +154,63 @@ class _PackedConvND(nn.Module):
         return y
 
 
+class _DepthPackedConv3D(nn.Module):
+    """Stride-1 3x3x3 conv executed DEPTH-IN-CHANNELS (ops/packed_conv.py
+    ``depth_band_kernel``): the folded width-packed activation
+    ``[B*D, H, Wq, k_in*C]`` is relaid to ``[B, H, W/kp, kp*D*C]`` and the
+    depth taps become a block-banded dense channel contraction — at the
+    mid-block depths (D = 4-8) that is 1.3-2.7x paper FLOPs vs the 2-8x
+    the width-packed 3-D conv pays (see ``mid_pack_plan``). Parameter tree
+    of ``nn.Conv`` (param "kernel" in the LOGICAL shape (3, 3, 3, Ci, Co))
+    — checkpoint-interchangeable with the other execution layouts."""
+
+    features: int
+    depth: int
+    kp: int                  # width-pack factor of the depth-packed layout
+    k_in: int                # width-pack factors of the folded in/out
+    k_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        from ..ops.packed_conv import (
+            depth_band_kernel,
+            pack_w,
+            packed_conv_w,
+            unpack_w,
+        )
+
+        D = self.depth
+        Ci = xp.shape[-1] // self.k_in
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, Ci, self.features),
+            jnp.float32,
+        )
+        Kd = depth_band_kernel(kernel, D).astype(self.dtype)
+
+        x = unpack_w(xp, self.k_in)                 # [B*D, H, W, Ci]
+        x = _unfold(x, D)                           # [B, D, H, W, Ci]
+        x = jnp.transpose(x, (0, 2, 3, 1, 4))       # [B, H, W, D, Ci]
+        B_, H_, W_, _, _ = x.shape
+        x = x.reshape(B_, H_, W_, D * Ci).astype(self.dtype)
+        if self.kp > 1:
+            y = packed_conv_w(
+                pack_w(x, self.kp), Kd, strides=(1, 1), pads=(1, 1),
+                k_in=self.kp, k_out=self.kp, W=W_,
+            )
+            y = unpack_w(y, self.kp)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, Kd, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        y = y.reshape(B_, H_, W_, D, self.features)
+        y = jnp.transpose(y, (0, 3, 1, 2, 4))       # [B, D, H, W, Co]
+        return pack_w(_fold(y), self.k_out)
+
+
 class _PackedDeconv2x(nn.Module):
     """x2 spatial transposed conv (k=3, s=2, torch p=1/out_p=1) on
     width-packed activations — parameter tree of ``nn.ConvTranspose``
@@ -333,6 +390,10 @@ class ConvBnReLU3D(nn.Module):
     depth: int = 1
     k_in: int = 1            # width-pack factors (ops/packed_conv.py)
     k_out: int = 1
+    d_pack: int = 0          # > 0: execute a stride-1 3x3x3 kernel
+                             # depth-in-channels with this width factor
+                             # (_DepthPackedConv3D; ops/packed_conv.py
+                             # mid_pack_plan picks it)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -343,7 +404,16 @@ class ConvBnReLU3D(nn.Module):
         # XLA SAME differs on stride-2 convs — see ConvBnReLU.
         ph, pw = kh // 2, kw // 2
         packed = self.k_in > 1 or self.k_out > 1
-        if kd == 1 and sd == 1:
+        if (
+            self.d_pack and self.depth > 1
+            and self.kernel == (3, 3, 3) and (sd, sh, sw) == (1, 1, 1)
+        ):
+            x = _DepthPackedConv3D(
+                self.out_channels, depth=self.depth, kp=self.d_pack,
+                k_in=self.k_in, k_out=self.k_out, dtype=self.dtype,
+                name="Conv_0",
+            )(x)
+        elif kd == 1 and sd == 1:
             if packed:
                 x = _PackedConvND(
                     self.out_channels, (kh, kw), (sh, sw), (ph, pw),

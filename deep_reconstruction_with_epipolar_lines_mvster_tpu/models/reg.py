@@ -87,29 +87,39 @@ class Reg2D(nn.Module):
                 f"for W={W_log} (caller must use models.reg.reg2d_pack_factor)"
             )
 
-        def mk_mid(ch, k):
+        def mk_mid(ch, k, lvl):
             kw = dict(depth=d, dtype=self.dtype)
             if k > 1:  # only plain ConvBnReLU3D has pack attrs (guard above)
                 kw.update(k_in=k, k_out=k)
+            if k0 > 1 and d > 1 and self.agg_type == "ConvBnReLU3D":
+                # depth-in-channels execution of the 3x3x3 mid when it has
+                # lower paper FLOPs than the width-packed path (D*C fills
+                # the MXU lanes at 1.3-2.7x inflation vs 2-8x;
+                # ops/packed_conv.py mid_pack_plan)
+                from ..ops.packed_conv import mid_pack_plan
+
+                kp = mid_pack_plan(W_log >> lvl, ch, d, k)
+                if kp:
+                    kw.update(d_pack=kp)
             return mid(ch, **kw)
 
         xp = x if self.prepacked_k > 1 else pack_w(x, k0)
         conv0 = ConvBnReLU3D(
             b, dtype=self.dtype, k_in=k0, k_out=k0, **k133
         )(xp, train=train)
-        conv2 = mk_mid(2 * b, k1)(
+        conv2 = mk_mid(2 * b, k1, 1)(
             ConvBnReLU3D(
                 2 * b, dtype=self.dtype, k_in=k0, k_out=k1, **s122
             )(conv0, train=train),
             train=train,
         )
-        conv4 = mk_mid(4 * b, k2)(
+        conv4 = mk_mid(4 * b, k2, 2)(
             ConvBnReLU3D(
                 4 * b, dtype=self.dtype, k_in=k1, k_out=k2, **s122
             )(conv2, train=train),
             train=train,
         )
-        x = mk_mid(8 * b, k3)(
+        x = mk_mid(8 * b, k3, 3)(
             ConvBnReLU3D(
                 8 * b, dtype=self.dtype, k_in=k2, k_out=k3, **s122
             )(conv4, train=train),

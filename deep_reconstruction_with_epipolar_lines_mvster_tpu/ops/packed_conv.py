@@ -150,6 +150,62 @@ def packed_conv_w(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _depth_band_map(kd: int, D: int):
+    """One-hot depth band: M[z, di, do] = 1 iff di == do + z - kd//2 (the
+    stride-1, pad=kd//2 depth tap structure; out-of-range di simply has no
+    block — exactly the conv's zero padding)."""
+    M = np.zeros((kd, D, D), np.float32)
+    for z in range(kd):
+        for do in range(D):
+            di = do + z - kd // 2
+            if 0 <= di < D:
+                M[z, di, do] = 1.0
+    return M
+
+
+def depth_band_kernel(K: jnp.ndarray, D: int) -> jnp.ndarray:
+    """Expand a 3-D conv kernel ``[kd, kh, kw, Ci, Co]`` (stride-1,
+    pad=kd//2 in depth) into the depth-in-channels 2-D kernel
+    ``[kh, kw, D*Ci, D*Co]``: Kd[h, w, (di, ci), (do, co)] =
+    K[di - do + kd//2, h, w, ci, co] (zero outside the band).
+
+    TPU rationale: for the cost-volume mid blocks D is 4-8, so the depth
+    contraction is ALREADY nearly dense (each output depth reads kd=3 of D
+    slices -> D/kd = 1.3-2.7x paper FLOPs); executing it as a dense 2-D
+    NHWC conv on ``[B, H, W, D*C]`` fills the MXU lanes with D*C >= 64
+    channels at far lower inflation than the width-packed 3-D conv
+    (T*k/kw = 2-8x) the folded layout needs. Math-exact: same taps, same
+    zero padding, only f32 summation order differs.
+    """
+    kd = K.shape[0]
+    M = jnp.asarray(_depth_band_map(kd, D), K.dtype)
+    Kd = jnp.einsum("zhwio,zde->hwdieo", K, M)
+    kh, kw, Ci, Co = K.shape[1], K.shape[2], K.shape[3], K.shape[4]
+    return Kd.reshape(kh, kw, D * Ci, D * Co)
+
+
+def mid_pack_plan(W: int, C: int, D: int, k_w: int,
+                  margin: float = 0.75) -> int:
+    """Static execution choice for a stride-1 3x3x3 mid block at logical
+    width ``W``, channels ``C``, depth ``D``, given the width-pack factor
+    ``k_w`` the folded path would use. Returns the depth-packed width
+    factor ``kp`` (>= 1) when depth-in-channels execution has lower paper
+    FLOPs than the width-packed path by at least ``margin`` (covering the
+    two layout transposes it adds), else 0 (keep width packing).
+
+    Inflations vs the true 3-D conv FLOPs:
+      width-packed:     T_w * k_w / kw          (kw = 3 width taps)
+      depth-in-channel: T_d * kp * D / (kd*kw)  (depth dense, kd = 3)
+    """
+    kp = pick_pack(W, D * C)
+    T_d = _pack_geometry(3, 1, 1, kp, kp)[0] if kp > 1 else 3
+    infl_d = T_d * kp * D / 9.0
+    T_w = _pack_geometry(3, 1, 1, k_w, k_w)[0] if k_w > 1 else 3
+    infl_w = T_w * k_w / 3.0
+    return kp if infl_d < margin * infl_w else 0
+
+
 def zero_stuff(x: jnp.ndarray, axes: tuple) -> jnp.ndarray:
     """Interleave zeros along ``axes`` (each length L -> 2L, data at even
     indices) — the materialized ``lhs_dilation`` (+1 trailing zero) used to

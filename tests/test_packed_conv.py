@@ -341,3 +341,58 @@ def test_reg3d_packed_matches_unpacked():
         ),
         rv["batch_stats"], gv["batch_stats"],
     )
+
+
+def test_depth_packed_mid_matches_plain():
+    """Depth-in-channels execution of the stride-1 3x3x3 mid block
+    (_DepthPackedConv3D) is math-exact vs the plain unfolded 3-D conv for
+    every (folded width factor k, depth-packed width factor kp) combination,
+    including train-mode BN statistics."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models.layers import (
+        ConvBnReLU3D,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.packed_conv import (
+        pack_w,
+        unpack_w,
+    )
+
+    rng = np.random.default_rng(7)
+    B, D, H, W, C, Co = 2, 4, 16, 40, 16, 16
+    x = jnp.asarray(rng.standard_normal((B * D, H, W, C)), jnp.float32)
+    ref = ConvBnReLU3D(Co, kernel=(3, 3, 3), depth=D)
+    v = ref.init(jax.random.PRNGKey(0), x, train=False)
+    y0 = ref.apply(v, x, train=False)
+    _, st0 = ref.apply(v, x, train=True, mutable=["batch_stats"])
+    for k, kp in [(1, 1), (1, 2), (4, 2), (4, 1), (2, 4)]:
+        m = ConvBnReLU3D(
+            Co, kernel=(3, 3, 3), depth=D, k_in=k, k_out=k, d_pack=kp
+        )
+        y1 = unpack_w(m.apply(v, pack_w(x, k), train=False), k)
+        np.testing.assert_allclose(
+            np.asarray(y1), np.asarray(y0), atol=1e-5,
+            err_msg=f"k={k} kp={kp}",
+        )
+        _, st1 = m.apply(v, pack_w(x, k), train=True, mutable=["batch_stats"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            ),
+            st0["batch_stats"], st1["batch_stats"],
+        )
+
+
+def test_mid_pack_plan_choices():
+    """The static plan picks depth-in-channels exactly where its paper
+    FLOPs beat width packing (D=4 full-res stages: every mid level; D=8
+    stages: lvl1/2 only) and the chosen kp divides the level width."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.packed_conv import (
+        mid_pack_plan,
+        pick_pack_levels,
+    )
+
+    for W, D, expect in ((640, 4, [2, 1, 1]), (160, 8, [1, 1, 0])):
+        ks = pick_pack_levels(W, 8, 4)
+        plan = [mid_pack_plan(W >> l, 8 << l, D, ks[l]) for l in (1, 2, 3)]
+        assert plan == expect, (W, D, plan)
+        for l, kp in zip((1, 2, 3), plan):
+            assert kp == 0 or (W >> l) % kp == 0
