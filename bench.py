@@ -5,14 +5,24 @@ depth-maps per second (reference prints this per run, test_mvs4.py:408-427,600;
 BASELINE.md) — at the canonical eval shape: 512x640, NviewGen=4 views, the
 DTU recipe model (group_cor 8,8,4,4 / inverse depth / attn_temp 2).
 
-Measurement method: N data-dependent forward passes chained inside ONE jitted
-``lax.scan`` (each iteration perturbs the input with the previous result so
-the device must execute them sequentially), then a scalar fetch. This is
-robust on backends where ``block_until_ready`` acks dispatch rather than
-completion (the remote-tunnel backend here does exactly that — probed) and
-avoids timing host<->device transfer of full depth maps.
+Measurement method: CHAIN data-dependent forward passes chained inside ONE
+jitted ``lax.scan`` (each iteration perturbs the input with the previous
+result so the device must execute them sequentially), then a scalar fetch.
+This is robust on backends where ``block_until_ready`` acks dispatch rather
+than completion (the remote-tunnel backend here does exactly that — probed)
+and avoids timing host<->device transfer of full depth maps.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Statistics (round 5, VERDICT #4): the compiled program stays pinned at
+B=4/CHAIN=5 for cross-round comparability, but each timing GROUP threads a
+scalar carry through ROUNDS=10 back-to-back dispatches of that program (the
+carry makes each dispatch data-depend on the previous, so the device runs
+them sequentially with no host sync between them) and fetches ONE scalar at
+the end. This amortizes the per-fetch HTTP-tunnel round trip (~30 ms, the
+round-4 driver-vs-builder 3% gap) to <1% of the group. The metric is the
+median over GROUPS=3 groups; the IQR-derived spread is reported alongside.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"spread_maps_per_s", "groups_maps_per_s"}.
 The reference publishes no number for this metric (BASELINE.json published={})
 so vs_baseline is the ratio against the first recorded bench of this repo if
 available, else 1.0.
@@ -59,7 +69,7 @@ def main():
     variables = ge._init_on_cpu(model, batch)
 
     @jax.jit
-    def chained(variables, imgs, projs, dv):
+    def chained(carry0, variables, imgs, projs, dv):
         def body(carry, _):
             out = model.apply(
                 variables, imgs + carry * 1e-12, projs, dv, train=False
@@ -67,21 +77,30 @@ def main():
             d = out["stage4"]["depth"]
             return d.mean().astype(imgs.dtype), None
 
-        c, _ = jax.lax.scan(body, jnp.zeros((), imgs.dtype), length=CHAIN)
+        c, _ = jax.lax.scan(body, carry0, length=CHAIN)
         return c
 
     args = (variables, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
 
-    # warmup / compile; scalar fetch forces real completion
-    float(chained(*args))
+    ROUNDS, GROUPS = 10, 3
+    # warmup: compile + two full dispatches (first-dispatch effects excluded)
+    c = jnp.zeros((), batch["imgs"].dtype)
+    for _ in range(2):
+        c = chained(c, *args)
+    float(c)  # host read of the scalar = true completion
 
-    lat = []
-    for _ in range(3):
+    group_rates = []
+    for _ in range(GROUPS):
+        c = jnp.zeros((), batch["imgs"].dtype)
         t0 = time.perf_counter()
-        float(chained(*args))  # host read of the scalar = true completion
-        lat.append(time.perf_counter() - t0)
-    lat.sort()
-    maps_per_s = (B * CHAIN) / lat[len(lat) // 2]
+        for _ in range(ROUNDS):
+            c = chained(c, *args)  # data-dependent: device serializes
+        float(c)  # one completion fetch per group
+        dt = time.perf_counter() - t0
+        group_rates.append((B * CHAIN * ROUNDS) / dt)
+    group_rates.sort()
+    maps_per_s = group_rates[len(group_rates) // 2]
+    spread = group_rates[-1] - group_rates[0]
 
     baseline = None
     for fname in sorted(os.listdir(".")):
@@ -103,6 +122,8 @@ def main():
                 "value": round(maps_per_s, 3),
                 "unit": "maps/s",
                 "vs_baseline": round(vs, 3),
+                "spread_maps_per_s": round(spread, 3),
+                "groups_maps_per_s": [round(r, 3) for r in group_rates],
             }
         )
     )
