@@ -89,12 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "layouts under grad), mxu_v3 for eval on TPU")
     p.add_argument("--warp_band", type=int, default=16)
     p.add_argument("--warp_bwd", default="auto",
-                   choices=["auto", "v1", "v2", "v3", "v4"],
+                   choices=["auto", "v1", "v2", "v3", "v4", "v4_ik"],
                    help="x-banded Pallas warp-backward kernel variant "
                         "(ops/pallas/warp_xband_bwd.py). auto: v4 "
                         "(VMEM-resident dsrc accumulator, one HBM flush "
                         "per view; DTU train step 513 -> 433 ms, r5c) "
-                        "when it fits VMEM, else v1")
+                        "when it fits VMEM, else v1. v4_ik: v4 with "
+                        "in-kernel coordinates + window plan (no "
+                        "coordinate-plane residuals)")
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
     p.add_argument("--warp_tile_cols", type=int, default=128)
@@ -155,7 +157,10 @@ def make_model_config(args, mode="train"):
     if getattr(args, "warp_bwd", None):
         from ..ops.warp_mxu import set_bwd_kernel
 
-        set_bwd_kernel(args.warp_bwd)
+        if args.warp_bwd == "v4_ik":
+            set_bwd_kernel("v4", ik=True)
+        else:
+            set_bwd_kernel(args.warp_bwd)
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),

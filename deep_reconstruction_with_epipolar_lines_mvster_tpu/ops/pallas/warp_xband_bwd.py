@@ -329,6 +329,141 @@ def _kernel_v4(ystarts_ref, xstarts_ref, x_ref, y_ref, g_ref, out_ref,
         wr.wait()
 
 
+def _kernel_v4_ik(rel_ref, hypo_ref, g_ref, out_ref, wx_vmem, wyg_vmem,
+                  acc_vmem, sem_w, *, band: int, band0: int, xband: int,
+                  tile_rows: int, tile_cols: int, channels: int,
+                  align_y: int, T_tiles: int, Hs: int, Ws: int):
+    """v4 with IN-KERNEL coordinates and window plan: the tile's warp
+    coordinates are recomputed from (rel12 scalar-prefetch, depth-hypo
+    block) exactly like the ik forward (ops/pallas/warp_fwd_v3
+    ``_tile_coords_ik``), and the y-band / per-chunk x-window starts are
+    derived in-kernel with the ``_xband_tile_plan`` arithmetic. Removes
+    the two per-view ``[B, D, H, W]`` f32 coordinate-plane residuals AND
+    the XLA plan reductions from the backward (r4g train trace:
+    coords/plan fusions ~25 ms/step); the only residual the VJP needs is
+    the stage's shared depth-hypothesis volume."""
+    from .warp_fwd_v3 import _band_start_ik, _tile_coords_ik
+
+    b = pl.program_id(0)
+    n = pl.program_id(1)
+    N = pl.num_programs(1)
+    C = channels
+    TC = tile_cols
+    TR = tile_rows
+    W = hypo_ref.shape[2]
+    G = W // TC
+    xs, ys = _tile_coords_ik(rel_ref, b, n % T_tiles, hypo_ref[0], TR, W)
+    y0 = _band_start_ik(ys, Hs=Hs, band0=band0, band=band, align_y=align_y)
+    ystart = pl.multiple_of(y0 * C, align_y * C)
+    y0f = y0.astype(jnp.float32)
+
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 0)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (band * C, C), 1)
+    foldT = (ccol == jrow % C).astype(jnp.float32).T  # [C, band*C]
+    kidx = (
+        jax.lax.broadcasted_iota(jnp.int32, (TC, band * C), 1) // C
+    ).astype(jnp.float32)
+    js = jax.lax.broadcasted_iota(jnp.int32, (TC, xband), 1).astype(
+        jnp.float32
+    )
+
+    @pl.when(n == 0)
+    def _zero():
+        acc_vmem[...] = jnp.zeros_like(acc_vmem)
+
+    xmax0 = max((Ws - xband) // 8 * 8, 0)
+    for g in range(G):
+        xmin = jnp.min(xs[:, g * TC : (g + 1) * TC])
+        x0i = (jnp.floor(xmin).astype(jnp.int32) - 1) // 8 * 8
+        x0 = pl.multiple_of(jnp.clip(x0i, 0, xmax0), 8)
+        x0f = x0.astype(jnp.float32)
+
+        for r in range(TR):
+            x = jnp.transpose(xs[r : r + 1, g * TC : (g + 1) * TC], (1, 0))
+            y = jnp.transpose(ys[r : r + 1, g * TC : (g + 1) * TC], (1, 0))
+            gr = g_ref[0, 0, r, pl.ds(g * TC, TC)]  # [TC, C]
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(x - (x0f + js)))
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y - (y0f + kidx)))
+            gexp = jnp.dot(
+                gr.astype(jnp.float32), foldT,
+                preferred_element_type=jnp.float32,
+            )
+            wx_vmem[pl.ds(r * TC, TC), :] = wx.astype(wx_vmem.dtype)
+            wyg_vmem[pl.ds(r * TC, TC), :] = (wy * gexp).astype(
+                wyg_vmem.dtype
+            )
+
+        contrib = jax.lax.dot_general(
+            wx_vmem[...], wyg_vmem[...], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [xband, band*C]
+        cur = acc_vmem[pl.ds(x0, xband), pl.ds(ystart, band * C)]
+        acc_vmem[pl.ds(x0, xband), pl.ds(ystart, band * C)] = cur + contrib
+
+    @pl.when(n == N - 1)
+    def _flush():
+        wr = pltpu.make_async_copy(acc_vmem, out_ref.at[b], sem_w)
+        wr.start()
+        wr.wait()
+
+
+def warp_tiles_pallas_xband_bwd_ik(
+    g: jnp.ndarray,         # [B, N, TR, W, C] f32/bf16 cotangent
+    rel12: jnp.ndarray,     # [B, 12] f32 — rows 0..2 of rel_proj, flat
+    hypo: jnp.ndarray,      # [B, D, H, W] f32 depth hypotheses
+    src_shape,              # (B, Hs, Ws, C)
+    *,
+    band: int,              # alignment-widened band
+    band0: int,             # pre-widen band (the plan's first clip)
+    xband: int,             # alignment-widened x window
+    tile_rows: int,
+    tile_cols: int,
+    align_y: int = 1,
+    interpret: bool = False,
+    factor_dtype=jnp.float32,
+) -> jnp.ndarray:           # [B, Hs, Ws, C] f32
+    """v4 backward with in-kernel coordinates — see ``_kernel_v4_ik``."""
+    B, Hs, Ws, C = src_shape
+    _, D, H, W = hypo.shape
+    TR = tile_rows
+    N = D * (H // TR)
+    T_tiles = H // TR
+    hypo_r = hypo.reshape(B, N * TR, W).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TR, W), lambda b, n, rel: (b, n, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, TR, W, C), lambda b, n, rel: (b, n, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((TR * tile_cols, xband), factor_dtype),
+            pltpu.VMEM((TR * tile_cols, band * C), factor_dtype),
+            pltpu.VMEM((Ws, Hs * C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    dsrc_t = pl.pallas_call(
+        functools.partial(
+            _kernel_v4_ik, band=band, band0=band0, xband=xband,
+            tile_rows=TR, tile_cols=tile_cols, channels=C, align_y=align_y,
+            T_tiles=T_tiles, Hs=Hs, Ws=Ws,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Ws, Hs * C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rel12.astype(jnp.float32), hypo_r, g)
+    return jnp.swapaxes(dsrc_t.reshape(B, Ws, Hs, C), 1, 2)
+
+
 def warp_tiles_pallas_xband_bwd(
     g: jnp.ndarray,         # [B, N, TR, W, C] f32/bf16 cotangent
     xcoords: jnp.ndarray,   # [B, N, TR, W] f32

@@ -379,7 +379,7 @@ def _warp_batched_pallas_xband_fwd(src, coords, band, tile_rows, xband, tile_col
 # fits (every DTU stage; measured r5c: DTU train step 513 -> 433 ms/step,
 # loss identical), else v1. factor_dtype bfloat16 halves the merged-matmul
 # cost at ~2^-9 relative weight error (measured neutral at the DTU recipe).
-_BWD_KERNEL = {"mode": "auto", "factor_dtype": jnp.float32}
+_BWD_KERNEL = {"mode": "auto", "factor_dtype": jnp.float32, "ik": False}
 
 # VMEM budget for the v4 accumulator + factor scratches, leaving ~1.5 MB
 # of the 16 MB core VMEM for the double-buffered coordinate/cotangent
@@ -390,9 +390,15 @@ _BWD_KERNEL = {"mode": "auto", "factor_dtype": jnp.float32}
 _V4_VMEM_BUDGET = 14 * 1024 * 1024
 
 
-def set_bwd_kernel(mode: str = "auto", factor_dtype=jnp.float32) -> None:
+def set_bwd_kernel(mode: str = "auto", factor_dtype=jnp.float32,
+                   ik: bool | None = None) -> None:
+    """``ik=True`` additionally routes the hybrid path's v4 backward
+    through the in-kernel-coordinates variant (``_warp_hybrid_ik``) —
+    no coordinate-plane residuals, plan computed in-kernel."""
     _BWD_KERNEL["mode"] = mode
     _BWD_KERNEL["factor_dtype"] = factor_dtype
+    if ik is not None:
+        _BWD_KERNEL["ik"] = ik
 
 
 def _resolve_bwd_mode(src_shape, band_al, xband_al, tile_rows, tile_cols):
@@ -648,6 +654,57 @@ def _warp_hybrid_fwd(src, coords, band, tile_rows, xband, tile_cols):
 _warp_hybrid.defvjp(_warp_hybrid_fwd, _warp_batched_pallas_xband_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _warp_hybrid_ik(src, rel_proj, depth_values, band, tile_rows, xband,
+                    tile_cols):
+    """``_warp_hybrid`` with the BACKWARD's coordinates and window plan
+    computed inside the kernel from ``(rel_proj, depth_values)``
+    (ops/pallas/warp_xband_bwd._kernel_v4_ik). The VJP residuals shrink
+    from two per-view ``[B, D, H, W]`` f32 coordinate planes to the
+    stage's SHARED depth-hypothesis volume (one buffer across all source
+    views — XLA CSEs the identical residual), and the backward loses the
+    XLA plan-reduction fusions (~25 ms/step at the DTU recipe, r4g
+    trace). Coordinates recomputed in-kernel differ from the XLA einsum
+    by f32 rounding; the bilinear weights are continuous in them."""
+    return _warp_hybrid_ik_fwd(
+        src, rel_proj, depth_values, band, tile_rows, xband, tile_cols
+    )[0]
+
+
+def _warp_hybrid_ik_fwd(src, rel_proj, depth_values, band, tile_rows,
+                        xband, tile_cols):
+    coords = warp_coords(rel_proj, depth_values)
+    out = jax.vmap(lambda s, c: _warp_one_fwd(s, c, band, tile_rows)[0])(
+        src, coords
+    )
+    return out, (src, rel_proj, depth_values)
+
+
+def _warp_hybrid_ik_bwd(band, tile_rows, xband, tile_cols, res, g):
+    from .pallas.warp_xband_bwd import warp_tiles_pallas_xband_bwd_ik
+
+    src, rel_proj, depth_values = res
+    B, Hs, Ws, C = src.shape
+    _, D, H, W = depth_values.shape
+    align_y = max(1, 128 // C)
+    band_al = -(-band // align_y) * align_y + align_y
+    xband_al = -(-(xband + 8) // 8) * 8
+    T = H // tile_rows
+    g_blocks = g.reshape(B, D * T, tile_rows, W, C)
+    rel12 = rel_proj[:, :3, :].reshape(B, 12)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    dsrc = warp_tiles_pallas_xband_bwd_ik(
+        g_blocks, rel12, depth_values, (B, Hs, Ws, C),
+        band=band_al, band0=band, xband=xband_al, tile_rows=tile_rows,
+        tile_cols=tile_cols, align_y=align_y, interpret=interpret,
+        factor_dtype=_BWD_KERNEL["factor_dtype"],
+    )
+    return dsrc.astype(src.dtype), None, None
+
+
+_warp_hybrid_ik.defvjp(_warp_hybrid_ik_fwd, _warp_hybrid_ik_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _warp_batched_pallas(src, coords, band, tile_rows):
     return _warp_batched_pallas_fwd(src, coords, band, tile_rows)[0]
@@ -745,6 +802,16 @@ def homo_warp_mxu(
         v3 = False
         hybrid = True
     if hybrid and xband and bwd_ok:
+        if (
+            _BWD_KERNEL["ik"]
+            and _resolve_bwd_mode(src_fea.shape, band_al, xb_al,
+                                  tile_rows, tc) == "v4"
+        ):
+            # in-kernel-coords backward: residuals are (src, rel, hypo)
+            # instead of two [B, D, H, W] coordinate planes
+            return _warp_hybrid_ik(
+                src_fea, rel_proj, depth_values, band, tile_rows, xb, tc
+            )
         return _warp_hybrid(src_fea, coords, band, tile_rows, xb, tc)
         # (stages too narrow for the kernel use the scan fwd+bwd below)
     if use_pallas:

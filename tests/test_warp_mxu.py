@@ -574,3 +574,37 @@ def test_warp_cor_v3_ik_matches_coords_path():
             np.asarray(b, np.float32), np.asarray(a, np.float32),
             atol=1e-3, err_msg=f"H{H} W{W} xb{xb}",
         )
+
+
+def test_hybrid_ik_bwd_matches_hybrid():
+    """In-kernel-coords v4 backward (_warp_hybrid_ik, interpret): forward
+    identical to the hybrid path (same XLA scan fwd) and gradient equal to
+    the precomputed-coords hybrid backward up to f32 rounding of the
+    in-kernel coordinate arithmetic. Covers the chunked geometry (W=64,
+    tile_cols 32) and adaptive tile_cols (W=64, configured 128)."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops import (
+        warp_mxu,
+    )
+
+    src, rel, depth = _setup(B=2, H=32, W=64)
+    for xband, tc in ((96, 32), (192, 128)):
+        def loss(s, ik):
+            warp_mxu.set_bwd_kernel("v4", ik=ik)
+            try:
+                out = homo_warp_mxu(
+                    s, rel, depth, band=16, tile_rows=8, xband=xband,
+                    tile_cols=tc, hybrid=True,
+                )
+                return (out ** 2 + 0.3 * out).sum()
+            finally:
+                warp_mxu.set_bwd_kernel("auto", ik=False)
+
+        f_ref = float(loss(src, False))
+        f_ik = float(loss(src, True))
+        assert f_ref == f_ik  # same forward
+        g_ref = jax.grad(lambda s: loss(s, False))(src)
+        g_ik = jax.grad(lambda s: loss(s, True))(src)
+        np.testing.assert_allclose(
+            np.asarray(g_ik), np.asarray(g_ref), atol=2e-3, rtol=1e-4,
+            err_msg=f"xband={xband} tc={tc}",
+        )
