@@ -159,8 +159,10 @@ def make_model_config(args, mode="train"):
 
         if args.warp_bwd == "v4_ik":
             set_bwd_kernel("v4", ik=True)
-        else:
-            set_bwd_kernel(args.warp_bwd)
+        elif args.warp_bwd == "auto":
+            set_bwd_kernel("auto", ik=True)
+        else:  # explicit variant: run exactly that kernel, coords as planes
+            set_bwd_kernel(args.warp_bwd, ik=False)
 
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),

@@ -103,7 +103,19 @@ class ModelConfig:
                                         # warp coordinates + band/chunk plan
                                         # INSIDE the kernel from (rel, hypo)
                                         # — no [B,D,H,W] coord planes
-                                        # (ops/warp_mxu.warp_cor_v3_ik)
+                                        # (ops/warp_mxu.warp_cor_v3_ik;
+                                        # measured r5e: 53.08 -> 49.63
+                                        # ms/iter at the bench config)
+    d_pack_mids: bool = False           # depth-in-channels execution of the
+                                        # reg U-Net 3x3x3 mids where it cuts
+                                        # paper FLOPs (ops/packed_conv.py
+                                        # mid_pack_plan). OPT-IN: measured
+                                        # only +0.45 ms/iter at the bench
+                                        # config and the changed bf16
+                                        # summation order perturbs the
+                                        # argmax cascade at outlier pixels
+                                        # (_probe_r5e: max depth diff 394 at
+                                        # a 410..1046 range, f32 exact)
 
     @property
     def compute_dtype(self):

@@ -172,7 +172,8 @@ class MVS4Net(nn.Module):
                 regnet = maybe_remat(Reg2D)(
                     base_channels=cfg.reg_channel, agg_type=cfg.agg_type,
                     depth=cfg.ndepths[s], pack=cfg.pack_conv,
-                    prepacked_k=pack_out, dtype=dtype,
+                    prepacked_k=pack_out, d_pack_mids=cfg.d_pack_mids,
+                    dtype=dtype,
                     name=f"reg_stage{s + 1}",
                 )
             else:

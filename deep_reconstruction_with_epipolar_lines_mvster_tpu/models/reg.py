@@ -56,6 +56,8 @@ class Reg2D(nn.Module):
                              # factor ([N, H, W/k, k*C] — the aggregate's
                              # pack_out); must equal the k0 this module
                              # would pick for the logical width
+    d_pack_mids: bool = False  # opt-in depth-in-channels 3x3x3 mids
+                             # (config.ModelConfig.d_pack_mids rationale)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -91,7 +93,8 @@ class Reg2D(nn.Module):
             kw = dict(depth=d, dtype=self.dtype)
             if k > 1:  # only plain ConvBnReLU3D has pack attrs (guard above)
                 kw.update(k_in=k, k_out=k)
-            if k0 > 1 and d > 1 and self.agg_type == "ConvBnReLU3D":
+            if (self.d_pack_mids and k0 > 1 and d > 1
+                    and self.agg_type == "ConvBnReLU3D"):
                 # depth-in-channels execution of the 3x3x3 mid when it has
                 # lower paper FLOPs than the width-packed path (D*C fills
                 # the MXU lanes at 1.3-2.7x inflation vs 2-8x;

@@ -379,7 +379,10 @@ def _warp_batched_pallas_xband_fwd(src, coords, band, tile_rows, xband, tile_col
 # fits (every DTU stage; measured r5c: DTU train step 513 -> 433 ms/step,
 # loss identical), else v1. factor_dtype bfloat16 halves the merged-matmul
 # cost at ~2^-9 relative weight error (measured neutral at the DTU recipe).
-_BWD_KERNEL = {"mode": "auto", "factor_dtype": jnp.float32, "ik": False}
+# ik=True: the v4 backward computes coordinates + window plan in-kernel
+# (default; measured r5e at the DTU recipe: 425 -> 422 ms/step, loss
+# identical, and the per-view coordinate-plane residuals disappear)
+_BWD_KERNEL = {"mode": "auto", "factor_dtype": jnp.float32, "ik": True}
 
 # VMEM budget for the v4 accumulator + factor scratches, leaving ~1.5 MB
 # of the 16 MB core VMEM for the double-buffered coordinate/cotangent
