@@ -1,6 +1,7 @@
 """CLI surface tests: the reference recipe flag strings parse into the
 expected typed configs (no training run — compile cost)."""
 
+import pytest
 import json
 import shlex
 
@@ -64,6 +65,7 @@ def test_eval_recipe_parses():
     assert mcfg.group_cor and mcfg.inverse_depth
 
 
+@pytest.mark.slow  # 64 s; recipe-parse tests + checkpoint-loop fit stay fast (r5 re-tier)
 def test_train_cli_end_to_end_synthetic(tmp_path):
     """Drive cli.train.main() for one real epoch on the zero-file synthetic
     dataset: exercises arg parsing, loader, jitted train+val steps (sharded

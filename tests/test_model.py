@@ -97,6 +97,7 @@ def test_forward_eval_confidence(model_and_vars):
     assert "mono_depth" not in out["stage4"]
 
 
+@pytest.mark.slow  # 108 s; train-grad covered fast by test_train_step overfit (r5 re-tier)
 def test_loss_and_gradients(model_and_vars):
     model, variables, (imgs, projs, dv) = model_and_vars
     B, V, H, W, _ = imgs.shape

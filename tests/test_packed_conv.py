@@ -141,6 +141,7 @@ def test_reg2d_packed_matches_unpacked_train_stats():
     )
 
 
+@pytest.mark.slow  # 36 s (r5 re-tier)
 def test_reg2d_packed_gradients_match():
     """Backward through the packed kernel transform equals the unpacked
     gradient (the transform is a fixed linear scatter)."""
@@ -238,6 +239,7 @@ def test_full_model_prepacked_fused_cor_matches_gather():
         )
 
 
+@pytest.mark.slow  # 45 s; fpn4/reg2d packed parity stay fast (r5 re-tier)
 def test_full_model_packed_matches_unpacked():
     """MVS4Net with pack_conv=True produces the same depths/confidence as
     the unpacked model from identical variables (eval mode)."""
@@ -310,6 +312,7 @@ def test_packed_deconv3d_matches_flax_convtranspose():
     )
 
 
+@pytest.mark.slow  # 29 s (r5 re-tier)
 def test_reg3d_packed_matches_unpacked():
     from deep_reconstruction_with_epipolar_lines_mvster_tpu.models.reg import (
         Reg3D,

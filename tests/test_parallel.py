@@ -1,6 +1,7 @@
 """Multi-device (virtual CPU mesh) tests for the data-parallel train step and
 the driver entry points."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -20,6 +21,7 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # 64 s; dryrun8 covers compile+run (r5 re-tier)
 def test_entry_compiles_tiny():
     """entry() returns a jittable fn; compile-check on reduced shapes by
     rebuilding with the same model but smaller example args."""
@@ -46,6 +48,7 @@ def test_entry_compiles_tiny():
     assert depth.shape == (1, 64, 64)
 
 
+@pytest.mark.slow  # 119 s; dryrun8 is the fast-tier parallel gate (r5 re-tier)
 def test_shard_map_step_matches_gspmd():
     """shard_map-based sharded train step (explicit pmean collectives, local
     pallas shapes) produces the same updated state and scalars as the GSPMD
@@ -157,6 +160,7 @@ def test_pad_batch_to_multiple():
     assert same is batch
 
 
+@pytest.mark.slow  # 33 s (r5 re-tier)
 def test_shard_map_bn_stats_replicated_on_distinct_samples():
     """With DISTINCT per-shard samples, the shard_map step's updated
     BatchNorm running stats must be truly identical across device buffers
@@ -224,6 +228,7 @@ def test_shard_map_bn_stats_replicated_on_distinct_samples():
     assert checked > 0
 
 
+@pytest.mark.slow  # 64 s (r5 re-tier)
 def test_padded_val_batch_metrics_exact():
     """The wrap-padded trailing val batch's scalars must equal the unpadded
     single-device run EXACTLY (per-sample validity mask in the metric

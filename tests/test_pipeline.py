@@ -2,6 +2,7 @@
 consistency filter -> fused PLY (the reference's test_mvs4 --run_gendepth
 --run_filter flow, end to end, no real data)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -132,6 +133,7 @@ def test_eval_shape_bucketing_shares_one_compile(tmp_path):
         assert np.isfinite(d).all() and (d > 0).all()
 
 
+@pytest.mark.slow  # 46 s; space sharding covered fast in test_spatial_sharding (r5 re-tier)
 def test_make_eval_forward_space_mesh_matches():
     """make_eval_forward with a (data=1, space=2) mesh (the --space eval-CLI
     path) returns the same artifact dict as the single-device forward at a

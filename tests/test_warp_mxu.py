@@ -160,6 +160,7 @@ def test_zeros_padding_out_of_range():
     assert (np.abs(ref) < 1e-6).mean() > 0.1  # the scene does go OOB
 
 
+@pytest.mark.slow  # 62 s; per-kernel parity tests stay fast (r5 re-tier)
 def test_model_outputs_match_across_warp_impls():
     """Full MVS4Net forward with warp_impl='mxu' vs 'gather': identical
     params => near-identical depth maps."""
