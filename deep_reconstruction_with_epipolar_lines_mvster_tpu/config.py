@@ -106,6 +106,18 @@ class ModelConfig:
                                         # (ops/warp_mxu.warp_cor_v3_ik;
                                         # measured r5e: 53.08 -> 49.63
                                         # ms/iter at the bench config)
+    fuse_attn: bool = False             # with fuse_warp_cor + attn_fuse_d:
+                                        # run the whole cross-view attention
+                                        # accumulation in one Pallas pass
+                                        # over the native cor volumes
+                                        # (ops/pallas/attn_fuse.py).
+                                        # MEASURED NEGATIVE at the bench
+                                        # config (50.85 vs 49.57 ms,
+                                        # _probe_r5h): the separate pass
+                                        # re-reads the 3 per-view volumes
+                                        # that XLA's elementwise chain
+                                        # consumes in-fusion. Kept opt-in
+                                        # for narrow-memory configs
     d_pack_mids: bool = False           # depth-in-channels execution of the
                                         # reg U-Net 3x3x3 mids where it cuts
                                         # paper FLOPs (ops/packed_conv.py

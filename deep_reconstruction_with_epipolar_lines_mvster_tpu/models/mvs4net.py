@@ -245,6 +245,7 @@ class MVS4Net(nn.Module):
                 warp_tile_cols=cfg.warp_tile_cols,
                 fuse_cor=cfg.fuse_warp_cor,
                 kernel_coords=cfg.kernel_coords,
+                fuse_attn=cfg.fuse_attn,
                 pack_out=pack_out,
             )
             if spatial:

@@ -45,6 +45,7 @@ def run_stage(
     warp_tile_cols: int = 128,
     fuse_cor: bool = True,
     kernel_coords: bool = True,
+    fuse_attn: bool = True,
     pack_out: int = 1,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape
@@ -58,6 +59,7 @@ def run_stage(
         # keeps the differentiable two-step v3/hybrid warp)
         fuse_cor=fuse_cor and not train,
         kernel_coords=kernel_coords,
+        fuse_attn=fuse_attn,
         # pack_out > 1: emit the volume width-packed for a prepacked reg
         # U-Net (caller guarantees the regnet expects exactly this factor)
         pack_out=pack_out,

@@ -127,6 +127,7 @@ def epipolar_aggregate(
     fuse_cor: bool = False,
     pack_out: int = 1,
     kernel_coords: bool = True,
+    fuse_attn: bool = True,
 ) -> jnp.ndarray:
     """Cross-view attention-weighted fused cost volume, FOLDED layout
     ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing
@@ -177,6 +178,8 @@ def epipolar_aggregate(
         norm = 1e-8
         if kernel_coords:
             from .warp_mxu import warp_cor_v3_ik
+        cors = []
+        fuse_attn = fuse_attn and attn_fuse_d
         for v in range(1, len(features)):
             rel = relative_projection(proj_stacks[:, v], ref_stack)
             if kernel_coords:
@@ -193,6 +196,13 @@ def epipolar_aggregate(
                     features[v], ref_fea, cxv, cyv, band, tile_rows, xb,
                     group_dim, native=True,
                 )  # [B, D, T, TR, G, W]
+            if fuse_attn:
+                # whole attention chain in ONE Pallas pass after the view
+                # loop (softmax_D, weighting, accumulation, normalization)
+                # — the XLA elementwise chain was ~2.8 ms/iter of loop
+                # fusions + acc/norm round-trips (r5e trace)
+                cors.append(cor)
+                continue
             cor_sum = cor.sum(axis=4)  # [B, D, T, TR, W]
             if attn_fuse_d:
                 w = jax.nn.softmax(cor_sum / attn_temp, axis=1) / math.sqrt(C)
@@ -202,7 +212,15 @@ def epipolar_aggregate(
             w = w[:, :, :, :, None]
             acc = acc + w * cor
             norm = norm + w
-        out = acc / norm  # [B, D, T, TR, G, W]
+        if fuse_attn:
+            from .pallas.attn_fuse import attn_fuse_native
+
+            out = attn_fuse_native(
+                cors, attn_temp=attn_temp, channels=C,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            )
+        else:
+            out = acc / norm  # [B, D, T, TR, G, W]
         out = out.transpose(0, 1, 2, 3, 5, 4)  # ONE relayout
         out = out.reshape(B * D, H, W, group_dim)
         if pack_out > 1:

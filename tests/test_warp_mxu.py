@@ -449,6 +449,15 @@ def test_fused_warp_cor_matches_two_step():
     np.testing.assert_allclose(
         np.asarray(got_pc), np.asarray(ref_out), atol=3e-5, rtol=1e-4
     )
+    # XLA attention chain (fuse_attn off) vs the one-pass attention kernel
+    # (on, the default above): same chain, f32-close
+    got_noat = epipolar_aggregate(
+        feats, projs, depth, impl="mxu_v3", fuse_cor=True, fuse_attn=False,
+        **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_noat), np.asarray(got), atol=1e-4, rtol=1e-4
+    )
     # and the plain (unfused) v3 path agrees too, as a cross-check
     got2 = epipolar_aggregate(feats, projs, depth, impl="mxu_v3", **kw)
     np.testing.assert_allclose(
