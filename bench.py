@@ -83,9 +83,11 @@ def main():
     args = (variables, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
 
     ROUNDS, GROUPS = 10, 3
-    # warmup: compile + two full dispatches (first-dispatch effects excluded)
+    # warmup: compile + four full dispatches (first-dispatch effects AND
+    # clock ramp excluded — r5 groups showed 77.6 then 80.9/81.1 with only
+    # two warmup dispatches)
     c = jnp.zeros((), batch["imgs"].dtype)
-    for _ in range(2):
+    for _ in range(4):
         c = chained(c, *args)
     float(c)  # host read of the scalar = true completion
 
