@@ -107,6 +107,17 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None,
                    help="fused Pallas kernel for the FPN's full-res top-down "
                         "level (default auto: on for TPU, off for CPU)")
+    p.add_argument("--kernel_coords", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="in-kernel warp coordinates + window plans (the "
+                        "flagship eval default — BENCH_NOTES r5)")
+    p.add_argument("--fuse_attn", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="one-pass Pallas attention accumulation (opt-in; "
+                        "measured negative at the bench config)")
+    p.add_argument("--d_pack_mids", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="depth-in-channels reg mid blocks (opt-in)")
     p.add_argument("--debug_model", type=int, default=0)
     p.add_argument("--debug_depth_gen", type=int, default=0)
     p.add_argument("--debug_depth_filter", type=int, default=0)

@@ -107,6 +107,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "~5x faster on TPU (ops/packed_conv.py). Default: "
                         "auto (on for TPU, off for CPU where the k-fold "
                         "FLOP inflation loses)")
+    p.add_argument("--kernel_coords", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="compute warp coordinates + window plans inside "
+                        "the Pallas kernels (fused eval warp+cor; the "
+                        "flagship default — 53.1 -> 49.6 ms/iter r5e)")
+    p.add_argument("--fuse_attn", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="one-pass Pallas attention accumulation (measured "
+                        "NEGATIVE at the bench config, BENCH_NOTES r5; "
+                        "opt-in)")
+    p.add_argument("--d_pack_mids", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="depth-in-channels reg mid blocks (opt-in; see "
+                        "config.ModelConfig.d_pack_mids)")
     p.add_argument("--fused_topdown", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="fused Pallas kernel for the FPN's full-res top-down "
@@ -190,6 +204,9 @@ def make_model_config(args, mode="train"):
         warp_tile_cols=args.warp_tile_cols,
         pack_conv=pack,
         fused_topdown=fused_td,
+        kernel_coords=getattr(args, "kernel_coords", True),
+        fuse_attn=getattr(args, "fuse_attn", False),
+        d_pack_mids=getattr(args, "d_pack_mids", False),
     )
 
 

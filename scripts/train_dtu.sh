@@ -58,6 +58,7 @@ python train_mvs4.py \
 # coverage-0 on the bench geometry via ops.warp_mxu.band_coverage — for a
 # new dataset/rig, check coverage first or drop back to the conservative
 # defaults (16/192).
-# The warp-backward kernel defaults to --warp_bwd auto = v4 (VMEM-resident
-# dsrc accumulator): this recipe measured 513 -> 433 ms/step, loss
-# identical (_probe_r5c, BENCH_NOTES round 5).
+# The warp-backward kernel defaults to --warp_bwd auto = v4 with in-kernel
+# coordinates (v4_ik): this recipe measured 513 -> 433 (v4, _probe_r5c)
+# -> 422-431 ms/step across runs (v4_ik, _probe_r5e/r5i/r5j), loss
+# identical. Explicit --warp_bwd v1..v4 opts out of in-kernel coords.
