@@ -19,7 +19,8 @@ carry makes each dispatch data-depend on the previous, so the device runs
 them sequentially with no host sync between them) and fetches ONE scalar at
 the end. This amortizes the per-fetch HTTP-tunnel round trip (~30 ms, the
 round-4 driver-vs-builder 3% gap) to <1% of the group. The metric is the
-median over GROUPS=3 groups; the IQR-derived spread is reported alongside.
+median over GROUPS=3 groups; the max-min RANGE of the group rates is
+reported alongside as ``spread_maps_per_s``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "spread_maps_per_s", "groups_maps_per_s"}.

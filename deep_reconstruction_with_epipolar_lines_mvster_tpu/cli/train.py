@@ -168,16 +168,6 @@ def make_model_config(args, mode="train"):
             tpu_impl = "mxu_v3" if mode == "eval" else "mxu_hybrid"
             warp_impl = tpu_impl if on_tpu else "mxu_hybrid"
 
-    if getattr(args, "warp_bwd", None):
-        from ..ops.warp_mxu import set_bwd_kernel
-
-        if args.warp_bwd == "v4_ik":
-            set_bwd_kernel("v4", ik=True)
-        elif args.warp_bwd == "auto":
-            set_bwd_kernel("auto", ik=True)
-        else:  # explicit variant: run exactly that kernel, coords as planes
-            set_bwd_kernel(args.warp_bwd, ik=False)
-
     return ModelConfig(
         arch_mode={"fpn": "fpn"}.get(args.arch_mode, args.arch_mode),
         reg_mode=args.reg_mode,
@@ -208,6 +198,25 @@ def make_model_config(args, mode="train"):
         fuse_attn=getattr(args, "fuse_attn", False),
         d_pack_mids=getattr(args, "d_pack_mids", False),
     )
+
+
+def apply_warp_bwd_flag(args) -> None:
+    """Select the x-banded warp-backward kernel variant (process-global
+    module state — ops/warp_mxu._BWD_KERNEL, captured at trace time).
+    Deliberately NOT part of make_model_config: constructing a config must
+    not mutate kernel selection (a config built for inspection would
+    change behavior of already-constructed models traced afterwards)."""
+    flag = getattr(args, "warp_bwd", None)
+    if not flag:
+        return
+    from ..ops.warp_mxu import set_bwd_kernel
+
+    if flag == "v4_ik":
+        set_bwd_kernel("v4", ik=True)
+    elif flag == "auto":
+        set_bwd_kernel("auto", ik=True)
+    else:  # explicit variant: run exactly that kernel, coords as planes
+        set_bwd_kernel(flag, ik=False)
 
 
 def make_loss_config(args):
@@ -257,6 +266,7 @@ def main(argv=None):
         summary_freq=args.summary_freq, save_freq=args.save_freq,
         eval_freq=args.eval_freq,
     )
+    apply_warp_bwd_flag(args)
     mcfg = make_model_config(args)
     lcfg = make_loss_config(args)
 

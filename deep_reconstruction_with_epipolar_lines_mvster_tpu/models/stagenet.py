@@ -45,7 +45,7 @@ def run_stage(
     warp_tile_cols: int = 128,
     fuse_cor: bool = True,
     kernel_coords: bool = True,
-    fuse_attn: bool = True,
+    fuse_attn: bool = False,
     pack_out: int = 1,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape

@@ -127,7 +127,7 @@ def epipolar_aggregate(
     fuse_cor: bool = False,
     pack_out: int = 1,
     kernel_coords: bool = True,
-    fuse_attn: bool = True,
+    fuse_attn: bool = False,  # measured negative — ModelConfig.fuse_attn
 ) -> jnp.ndarray:
     """Cross-view attention-weighted fused cost volume, FOLDED layout
     ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing

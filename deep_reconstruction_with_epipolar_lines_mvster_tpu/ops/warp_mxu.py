@@ -329,9 +329,7 @@ def _xband_tile_plan(coords, band, tile_rows, xband, tile_cols, Hs, Ws, C):
     align; column starts aligned down to 8 sublanes with ``xband`` widened
     by 8."""
     B, D, H, W, _ = coords.shape
-    align_y = max(1, 128 // C)
-    band_al = -(-band // align_y) * align_y + align_y
-    xband_al = -(-(xband + 8) // 8) * 8
+    align_y, band_al, xband_al = _xband_align(band, xband, C)
 
     tiles = jax.vmap(lambda c: _split_tiles(c, tile_rows))(coords)  # [B,N,P,2]
     ystarts = jax.vmap(lambda t: _tile_starts(t[..., 1], band, Hs))(tiles)
@@ -458,6 +456,49 @@ def _v3_align_y(C: int, dtype) -> int:
     return st // math.gcd(C, st)
 
 
+# --- single-source v3 launch-plan geometry -------------------------------
+# These constants/formulas are consumed BOTH by the host-side plan
+# (_v3_plan, below) and by the in-kernel-coords twins (warp_cor_v3_ik and
+# ops/pallas/warp_fwd_v3._band_start_ik / the chunk-start loops), whose
+# correctness contract is bit-identical window arithmetic. Never tweak one
+# side without the other — hence one definition.
+
+V3_CHUNK = 128          # column-chunk width (output lanes per chunk)
+V3_XWIN_MARGIN = 130    # window slack: 127 alignment + 3-tap span
+
+
+def _v3_band_k(band: int, align_y: int) -> int:
+    """Alignment-widened band: flooring the start never drops coverage."""
+    return band + (align_y if align_y > 1 else 0)
+
+
+def _v3_xwin(xband: int) -> int:
+    """128-lane-aligned source-window width for the chunked kernels."""
+    return -(-(xband + V3_XWIN_MARGIN) // V3_CHUNK) * V3_CHUNK if xband else 0
+
+
+def _v3_pad_width(src):
+    """Zero-pad the source width to the 128-lane tiling Mosaic requires of
+    the band DMA. Exact: padded columns carry zeros, and taps landing on
+    them reproduce the warp's zeros-padding semantics."""
+    Ws = src.shape[2]
+    Ws_pad = -(-Ws // 128) * 128
+    if Ws_pad != Ws:
+        src = jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
+    return src, Ws_pad
+
+
+def _xband_align(band: int, xband: int, C: int):
+    """Backward-kernel window alignment (shared by _xband_tile_plan, the
+    in-kernel-coords bwd, and homo_warp_mxu's eligibility checks): row
+    starts align to ``align_y = 128 // C`` lanes, columns to 8 sublanes,
+    with each window widened by one alignment."""
+    align_y = max(1, 128 // C)
+    band_al = -(-band // align_y) * align_y + align_y
+    xband_al = -(-(xband + 8) // 8) * 8
+    return align_y, band_al, xband_al
+
+
 def _v3_plan(src, cx, cy, band, tile_rows, xband):
     """Shared launch plan for the v3 forward kernels (plain warp and fused
     warp+cor): 128-lane source width pad, alignment-widened band, aligned
@@ -468,20 +509,11 @@ def _v3_plan(src, cx, cy, band, tile_rows, xband):
     B, Hs, Ws, C = src.shape
     _, D, H, W = cx.shape
     align_y = _v3_align_y(C, src.dtype)
-    # Mosaic requires the HBM band-DMA slice's lane extent (Ws) to be a
-    # multiple of the 128-lane tiling; zero-pad the source width. Exact:
-    # padded columns carry zero data, and any interpolation tap that lands
-    # on them reproduces the warp's zeros-padding semantics.
-    Ws_pad = -(-Ws // 128) * 128
-    src_k = (
-        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
-        if Ws_pad != Ws
-        else src
-    )
+    src_k, Ws_pad = _v3_pad_width(src)
     # widen the band by the alignment so flooring the start never drops
     # coverage at the far edge; (band + align_y)*C stays a 16-sublane
     # multiple by construction
-    band_k = band + (align_y if align_y > 1 else 0)
+    band_k = _v3_band_k(band, align_y)
     N = D * (H // tile_rows)
     yt = cy.reshape(B, N, tile_rows * W)
     starts = jax.vmap(lambda t: _tile_starts(t, band, Hs))(yt)
@@ -492,8 +524,8 @@ def _v3_plan(src, cx, cy, band, tile_rows, xband):
 
     # column-chunked variant on wide stages: 128-lane-aligned source
     # windows of xwin = roundup(xband+130, 128) columns per 128-col chunk
-    chunk = 128
-    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
+    chunk = V3_CHUNK
+    xwin = _v3_xwin(xband)
     kw = {}
     if xwin and Ws_pad >= xwin and W % chunk == 0:
         G = W // chunk
@@ -601,15 +633,10 @@ def warp_cor_v3_ik(src, ref, rel_proj, depth_hypo, band, tile_rows, xband,
     B, Hs, Ws, C = src.shape
     _, D, H, W = depth_hypo.shape
     align_y = _v3_align_y(C, src.dtype)
-    Ws_pad = -(-Ws // 128) * 128
-    src_k = (
-        jnp.pad(src, ((0, 0), (0, 0), (0, Ws_pad - Ws), (0, 0)))
-        if Ws_pad != Ws
-        else src
-    )
-    band_k = band + (align_y if align_y > 1 else 0)
-    chunk = 128
-    xwin = -(-(xband + 130) // chunk) * chunk if xband else 0
+    src_k, Ws_pad = _v3_pad_width(src)
+    band_k = _v3_band_k(band, align_y)
+    chunk = V3_CHUNK
+    xwin = _v3_xwin(xband)
     if not (xwin and Ws_pad >= xwin and W % chunk == 0):
         xwin = 0
     rel12 = rel_proj[:, :3, :].reshape(B, 12)
@@ -689,9 +716,7 @@ def _warp_hybrid_ik_bwd(band, tile_rows, xband, tile_cols, res, g):
     src, rel_proj, depth_values = res
     B, Hs, Ws, C = src.shape
     _, D, H, W = depth_values.shape
-    align_y = max(1, 128 // C)
-    band_al = -(-band // align_y) * align_y + align_y
-    xband_al = -(-(xband + 8) // 8) * 8
+    align_y, band_al, xband_al = _xband_align(band, xband, C)
     T = H // tile_rows
     g_blocks = g.reshape(B, D * T, tile_rows, W, C)
     rel12 = rel_proj[:, :3, :].reshape(B, 12)
@@ -785,15 +810,15 @@ def homo_warp_mxu(
     coords = warp_coords(rel_proj, depth_values)  # [B, D, H, W, 2], stop-grad
     Hs, Ws_, C = src_fea.shape[1], src_fea.shape[2], src_fea.shape[-1]
     W_ = depth_values.shape[-1]
-    align = max(1, 128 // C)
-    band_al = -(-band // align) * align + align
 
     # per-stage effective chunking for the Pallas BACKWARD plan: keep the
     # configured x margin (xband - tile_cols) when the stage width forces
     # smaller chunks (shared by the v3 and hybrid branches)
     tc = next((t for t in (tile_cols, 128, 64, 32, 16) if W_ % t == 0), 0)
     xb = max(xband - tile_cols + tc, tc + 16) if tc and xband else 0
-    xb_al = -(-(xb + 8) // 8) * 8 if xb else 0
+    align, band_al, xb_al = _xband_align(band, xb, C)
+    if not xb:
+        xb_al = 0
     bwd_ok = tc and xb_al <= Ws_ and band_al <= Hs and Hs % align == 0
 
     if v3 and xband:

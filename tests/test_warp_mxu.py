@@ -607,7 +607,7 @@ def test_hybrid_ik_bwd_matches_hybrid():
                 )
                 return (out ** 2 + 0.3 * out).sum()
             finally:
-                warp_mxu.set_bwd_kernel("auto", ik=False)
+                warp_mxu.set_bwd_kernel("auto", ik=True)  # module default
 
         f_ref = float(loss(src, False))
         f_ik = float(loss(src, True))
