@@ -92,7 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warp_impl", type=str, default=None,
                    choices=["mxu", "mxu_pallas", "mxu_hybrid", "mxu_v3", "gather"],
                    help="default auto: mxu_v3 on TPU, mxu_hybrid on CPU")
-    p.add_argument("--warp_band", type=int, default=16)
+    p.add_argument("--warp_band", type=str, default="16",
+                   help="source-row band: one int, or a per-stage comma "
+                        "list (validated per stage by the coverage check)")
     p.add_argument("--warp_tile_rows", type=int, default=8)
     p.add_argument("--warp_xband", type=int, default=192)
     p.add_argument("--warp_tile_cols", type=int, default=128)
@@ -164,10 +166,12 @@ def _check_warp_coverage(mcfg, sample):
                 (1, 8, h, w),
             ).copy()
         )
+        band_s = (mcfg.warp_band if isinstance(mcfg.warp_band, int)
+                  else mcfg.warp_band[s_i - 1])
         for v in range(1, pm.shape[1]):
             rel = relative_projection(pm[:, v], pm[:, 0])
             worst = max(worst, float(band_coverage(
-                rel, hypo, h, band=mcfg.warp_band,
+                rel, hypo, h, band=band_s,
                 tile_rows=mcfg.warp_tile_rows,
             )))
     if worst > 0:
@@ -243,7 +247,9 @@ def main(argv=None):
                 if args.loadckpt:
                     print(f"=> loading model {args.loadckpt}")
                     variables = load_weights(args.loadckpt, dict(variables), model_cfg=mcfg)
-                if mcfg.warp_impl != "gather" and mcfg.warp_band < 16:
+                wb_min = (mcfg.warp_band if isinstance(mcfg.warp_band, int)
+                          else min(mcfg.warp_band))
+                if mcfg.warp_impl != "gather" and wb_min < 16:
                     _check_warp_coverage(mcfg, s0)
                 # --vis_ETA: epipolar attention/warped-view figures
                 # (mvs4net_utils.py:1041-1073) = debug bits 3|5|6;

@@ -87,7 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fwd + x-banded Pallas bwd — the Pallas-fwd v3's "
                         "custom_vjp boundary forces padded residual "
                         "layouts under grad), mxu_v3 for eval on TPU")
-    p.add_argument("--warp_band", type=int, default=16)
+    p.add_argument("--warp_band", type=str, default="16",
+                   help="source-row band for the mxu warp: one int, or a "
+                        "per-stage comma list (e.g. 16,12,12,10 — validate "
+                        "IN-CASCADE with ops.warp_mxu.band_coverage)")
     p.add_argument("--warp_bwd", default="auto",
                    choices=["auto", "v1", "v2", "v3", "v4", "v4_ik"],
                    help="x-banded Pallas warp-backward kernel variant "
@@ -188,7 +191,9 @@ def make_model_config(args, mode="train"):
         dtype="bfloat16" if args.bf16 else "float32",
         remat=not getattr(args, "no_remat", False),
         warp_impl=warp_impl,
-        warp_band=args.warp_band,
+        warp_band=(lambda b: b[0] if len(b) == 1 else b)(
+            parse_int_list(args.warp_band)
+        ),
         warp_tile_rows=args.warp_tile_rows,
         warp_xband=args.warp_xband,
         warp_tile_cols=args.warp_tile_cols,

@@ -10,7 +10,7 @@ string encodings as a compatibility layer so the shipped recipes translate
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 
 def parse_int_list(s: str) -> Tuple[int, ...]:
@@ -73,7 +73,16 @@ class ModelConfig:
                                         # | 'mxu_pallas' (v1 Pallas fwd)
                                         # | 'gather' (XLA gather, exact
                                         # fallback for any geometry)
-    warp_band: int = 16                 # source-row band for the mxu warp
+    warp_band: Any = 16                 # source-row band for the mxu warp:
+                                        # one int for all stages, or a
+                                        # per-stage tuple (validate each
+                                        # stage IN-CASCADE with
+                                        # ops.warp_mxu.band_coverage on the
+                                        # refined hypotheses — the
+                                        # schedule_* windows can exceed the
+                                        # initial depth range, so a
+                                        # first-stage check is NOT
+                                        # conservative; _probe_r5k)
     warp_tile_rows: int = 8             # output rows per mxu warp tile
     warp_xband: int = 192               # source-column band per chunk at
                                         # tile_cols=128 (margin is preserved

@@ -239,7 +239,8 @@ class MVS4Net(nn.Module):
                 inverse_depth=cfg.inverse_depth,
                 train=train,
                 warp_impl=cfg.warp_impl,
-                warp_band=cfg.warp_band,
+                warp_band=(cfg.warp_band if isinstance(cfg.warp_band, int)
+                           else cfg.warp_band[s]),
                 warp_tile_rows=cfg.warp_tile_rows,
                 warp_xband=cfg.warp_xband,
                 warp_tile_cols=cfg.warp_tile_cols,

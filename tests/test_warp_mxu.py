@@ -618,3 +618,49 @@ def test_hybrid_ik_bwd_matches_hybrid():
             np.asarray(g_ik), np.asarray(g_ref), atol=2e-3, rtol=1e-4,
             err_msg=f"xband={xband} tc={tc}",
         )
+
+
+def test_per_stage_warp_band_tuple():
+    """ModelConfig.warp_band accepts a per-stage tuple; a tuple repeating
+    the int value is output-identical to the int, and the CLI parses the
+    comma form."""
+    import __graft_entry__ as ge
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.cli.train import (
+        build_parser,
+        make_model_config,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import (
+        MVS4Net,
+    )
+
+    kw = dict(
+        ndepths=(4, 4, 4, 4), depth_inter_r=(0.5, 0.5, 0.5, 1.0),
+        group_cor=True, group_cor_dim=(4, 4, 4, 4), inverse_depth=True,
+        mono=False, dtype="float32", warp_impl="mxu_hybrid", warp_band=16,
+    )
+    batch = ge._example_batch(B=1, V=2, H=64, W=64)
+    m_int = MVS4Net(ModelConfig(**kw))
+    v = ge._init_on_cpu(m_int, batch)
+    out_i = m_int.apply(v, batch["imgs"], batch["proj_matrices"],
+                        batch["depth_values"], train=False)
+    m_tup = MVS4Net(ModelConfig(**dict(kw, warp_band=(16, 16, 16, 16))))
+    out_t = m_tup.apply(v, batch["imgs"], batch["proj_matrices"],
+                        batch["depth_values"], train=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_i["stage4"]["depth"]),
+        np.asarray(out_t["stage4"]["depth"]),
+    )
+
+    args = build_parser().parse_args(
+        ["--logdir", "/tmp/x", "--trainpath", "/tmp/x", "--trainlist",
+         "/tmp/x", "--testlist", "/tmp/x", "--warp_band", "16,12,12,10"]
+    )
+    assert make_model_config(args).warp_band == (16, 12, 12, 10)
+    args2 = build_parser().parse_args(
+        ["--logdir", "/tmp/x", "--trainpath", "/tmp/x", "--trainlist",
+         "/tmp/x", "--testlist", "/tmp/x", "--warp_band", "12"]
+    )
+    assert make_model_config(args2).warp_band == 12
