@@ -115,6 +115,17 @@ class ModelConfig:
                                         # (ops/warp_mxu.warp_cor_v3_ik;
                                         # measured r5e: 53.08 -> 49.63
                                         # ms/iter at the bench config)
+    cw_stage_features: bool = True      # eval: let the fused top-down
+                                        # chain hand its CW-native outputs
+                                        # [N, H, C, Wp] straight to the
+                                        # fused warp+cor kernels (free
+                                        # reshapes replace the per-stage
+                                        # NHWC transpose copies — r5e
+                                        # trace: ~2 ms/iter). Auto-gated:
+                                        # only stages where BOTH the chain
+                                        # and the fused-cor kernel are
+                                        # eligible, and off under train /
+                                        # spatial / asff / dcn / mono
     fuse_attn: bool = False             # with fuse_warp_cor + attn_fuse_d:
                                         # run the whole cross-view attention
                                         # accumulation in one Pallas pass

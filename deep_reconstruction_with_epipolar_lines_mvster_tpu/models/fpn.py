@@ -159,6 +159,12 @@ class _TopDown(nn.Module):
     view_groups: int = 1
     fuse_final: bool = False
     fuse_chain: bool = True
+    cw_request: tuple = (False, False, False)  # (o2, o3, o4): emit that
+                             # output CHANNELS-IN-SUBLANES [N, H, C, Wp]
+                             # (zero lane pad) — only honored on the
+                             # fully-fused chain branch (callers predict
+                             # availability with topdown_chain_active and
+                             # gate on eval; see topdown_fused_chain)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -238,6 +244,7 @@ class _TopDown(nn.Module):
                  conv0.astype(self.dtype)),
                 (w3(inner1, out2), w3(inner2, out3), w3(inner3, out4)),
                 interpret=interpret,
+                o_cw=None if train else self.cw_request,
             )
         else:
             if fz2:
@@ -282,6 +289,7 @@ class FPN4(nn.Module):
     fuse_topdown: bool = False  # fused Pallas top-down levels
                              # (ops/pallas/topdown_fused.py; differentiable)
     fuse_chain: bool = True  # chain all fused levels (CW hand-off)
+    cw_request: tuple = (False, False, False)  # _TopDown.cw_request
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -325,11 +333,29 @@ class FPN4(nn.Module):
         return _TopDown(
             self.base, self.gn, self.dcn, self.view_groups,
             fuse_final=self.fuse_topdown, fuse_chain=self.fuse_chain,
-            dtype=self.dtype,
+            cw_request=self.cw_request, dtype=self.dtype,
         )(
             unpack_w(conv0, k0), unpack_w(conv1, k1),
             unpack_w(conv2, k2), unpack_w(conv3, k3), train=train,
         )
+
+
+def topdown_chain_active(H: int, W: int, base: int, fuse_final: bool,
+                         fuse_chain: bool) -> bool:
+    """Whether FPN4's _TopDown takes the fully-fused chain branch for a
+    ``[*, H, W, *]`` folded input — the single source MVS4Net uses to
+    predict CW feature availability (must mirror _TopDown's fz logic)."""
+    from ..ops.pallas.topdown_fused import level_fusable
+
+    final = 8 * base
+    if not (fuse_final and fuse_chain and final == 64):
+        return False
+    fz2 = level_fusable((0, H // 4, W // 4, 4 * base), (H // 8, W // 8),
+                        final)
+    fz3 = level_fusable((0, H // 2, W // 2, 2 * base), (H // 4, W // 4),
+                        final)
+    fz4 = level_fusable((0, H, W, base), (H // 2, W // 2), final)
+    return fz2 and fz3 and fz4
 
 
 class ConvNeXtBlock(nn.Module):

@@ -86,13 +86,43 @@ class MVS4Net(nn.Module):
         def maybe_remat(cls):
             return nn.remat(cls, static_argnums=(2,)) if cfg.remat else cls
 
+        # CW stage features (config.cw_stage_features rationale): predict —
+        # with the SAME single-source eligibility helpers the FPN and the
+        # aggregate use — which stages can hand the fused top-down chain's
+        # native [N, H, C, Wp] output straight to the fused warp+cor kernel
+        spatial_req = space_axis is not None
+        cw_stage = [False] * cfg.num_stages
+        if (
+            cfg.cw_stage_features and not train and not spatial_req
+            and cfg.arch_mode == "fpn" and not cfg.asff and not cfg.dcn
+            and not cfg.mono and cfg.fuse_warp_cor and cfg.kernel_coords
+            and cfg.warp_impl == "mxu_v3"
+        ):
+            from ..ops.warp_cor import fuse_cor_eligible
+            from .fpn import topdown_chain_active
+
+            if topdown_chain_active(H, W, cfg.fpn_base_channel,
+                                    cfg.fused_topdown,
+                                    cfg.fused_topdown_chain):
+                for s in range(1, cfg.num_stages):  # stage 1 = intra, NHWC
+                    hs, ws = H >> (3 - s), W >> (3 - s)
+                    cs = cfg.fpn_base_channel << (3 - s)
+                    bnd = (cfg.warp_band if isinstance(cfg.warp_band, int)
+                           else cfg.warp_band[s])
+                    cw_stage[s] = fuse_cor_eligible(
+                        B, hs, ws, cs, dtype, band=bnd,
+                        tile_rows=cfg.warp_tile_rows, fuse_cor=True,
+                        group_cor=cfg.group_cor, impl="mxu_v3",
+                    )
+
         # view_groups=V: train-mode BN statistics per view on the folded
         # batch, matching the reference's per-view FPN calls (MVS4Net.py:78-80)
         if cfg.arch_mode == "fpn":
             backbone = maybe_remat(FPN4)(
                 cfg.fpn_base_channel, gn=cfg.gn, dcn=cfg.dcn, view_groups=V,
                 pack=cfg.pack_conv, fuse_topdown=cfg.fused_topdown,
-                fuse_chain=cfg.fused_topdown_chain, dtype=dtype,
+                fuse_chain=cfg.fused_topdown_chain,
+                cw_request=tuple(cw_stage[1:4]), dtype=dtype,
             )
         elif cfg.arch_mode == "fpn_convnext":
             backbone = maybe_remat(FPN4ConvNeXt)(
@@ -134,7 +164,11 @@ class MVS4Net(nn.Module):
                 ]
             else:
                 stage_views = [feats[s][:, v] for v in range(V)]
-            h, w = stage_views[0].shape[1:3]
+            if cw_stage[s]:
+                # CW layout [B, h, C, Wp]: logical width from the image dims
+                h, w = stage_views[0].shape[1], W >> (3 - s)
+            else:
+                h, w = stage_views[0].shape[1:3]
             projs = proj_matrices[f"stage{s + 1}"]
 
             if s == 0:
@@ -247,6 +281,7 @@ class MVS4Net(nn.Module):
                 fuse_cor=cfg.fuse_warp_cor,
                 kernel_coords=cfg.kernel_coords,
                 fuse_attn=cfg.fuse_attn,
+                features_cw=cw_stage[s],
                 pack_out=pack_out,
             )
             if spatial:

@@ -46,6 +46,7 @@ def run_stage(
     fuse_cor: bool = True,
     kernel_coords: bool = True,
     fuse_attn: bool = False,
+    features_cw: bool = False,
     pack_out: int = 1,
 ) -> Dict[str, Any]:
     B, D, H, W = depth_hypo.shape
@@ -60,6 +61,7 @@ def run_stage(
         fuse_cor=fuse_cor and not train,
         kernel_coords=kernel_coords,
         fuse_attn=fuse_attn,
+        features_cw=features_cw,
         # pack_out > 1: emit the volume width-packed for a prepacked reg
         # U-Net (caller guarantees the regnet expects exactly this factor)
         pack_out=pack_out,

@@ -315,7 +315,8 @@ def _kernel_v4(hidx_ref, hfrac_ref, intraw_ref, c0_ref, wi_ref, bi_ref,
 
 
 def _run_kernel_v4(intra, skip, wi, bi, wo, tile_rows=8, interpret=False,
-                   merged=False, with_u=False, intra_cw=False, u_cw=False):
+                   merged=False, with_u=False, intra_cw=False, u_cw=False,
+                   o_cw=False):
     """v4/v5 launcher: W-resize in XLA (einsum over the whole tensor), then
     the slim blend/conv kernel (``merged``: v5 single block-shifted output
     matmul). ``with_u`` additionally returns the pre-conv sum
@@ -442,13 +443,26 @@ def _run_kernel_v4(intra, skip, wi, bi, wo, tile_rows=8, interpret=False,
         jnp.asarray(hidx), jnp.asarray(hfrac),
         intraw_t, c0, wi_t.astype(dt), bi_c, wo_t.astype(dt),
     )
+    def emit_o(o):
+        # o_cw: keep the kernel-native channels-in-sublanes layout
+        # [N, H, Co, Wp] for a CW consumer (the fused warp+cor kernel's
+        # src_hc is a free reshape of it) — but the lane PAD columns hold
+        # junk and warp taps can land there (zeros-padding semantics), so
+        # zero them (one fused elementwise; free when Wp == W)
+        if o_cw:
+            if Wp != W:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Wp), 3)
+                o = jnp.where(lane < W, o, jnp.zeros((), o.dtype))
+            return o
+        return jnp.swapaxes(o, 2, 3)[:, :, :W]  # [N, H, W, Co]
+
     if with_u:
         o, u = out
         return (
-            jnp.swapaxes(o, 2, 3)[:, :, :W],
+            emit_o(o),
             u if u_cw else jnp.swapaxes(u, 2, 3)[:, :, :W],
         )
-    return jnp.swapaxes(out, 2, 3)[:, :, :W]  # [N, H, W, Co]
+    return emit_o(out)
 
 
 def _unfused_chain(intra, skip, wi, bi, wo):
@@ -592,18 +606,20 @@ def _unfused_topdown_chain(intra, skips, weights):
     return tuple(outs)
 
 
-def _chain_impl(intra, skips, weights, tile_rows, interpret):
+def _chain_impl(intra, skips, weights, tile_rows, interpret, o_cw=None):
+    o_cw = o_cw or (False,) * len(skips)
     outs = []
     cur, cw = intra, False
     for i, (skip, (wi, bi, wo)) in enumerate(zip(skips, weights)):
         if i == len(skips) - 1:
             outs.append(_run_kernel_v4(
                 cur, skip, wi, bi, wo, tile_rows, interpret, intra_cw=cw,
+                o_cw=o_cw[i],
             ))
         else:
             o, cur = _run_kernel_v4(
                 cur, skip, wi, bi, wo, tile_rows, interpret,
-                with_u=True, intra_cw=cw, u_cw=True,
+                with_u=True, intra_cw=cw, u_cw=True, o_cw=o_cw[i],
             )
             cw = True
             outs.append(o)
@@ -686,6 +702,7 @@ def topdown_fused_chain(
     *,
     tile_rows: int = 8,
     interpret: bool = False,
+    o_cw=None,
 ) -> tuple:                          # (o2, o3, o4)
     """Differentiable fully-fused FPN top-down cascade: every level runs
     the v4 kernel, and the inter-level pathway tensor ``u`` stays in the
@@ -693,7 +710,16 @@ def topdown_fused_chain(
     copies between levels). Backward is ANALYTIC: the ``u``'s are
     re-derived with the fused kernels (u-only variant) and gradients flow
     through per-op vjps — no unfused-cascade rematerialization (see
-    ``_fused_chain_bwd``)."""
+    ``_fused_chain_bwd``).
+
+    ``o_cw``: per-level booleans requesting CHANNELS-IN-SUBLANES outputs
+    ``[N, H, Co, Wp]`` (lane-padded with zeros) for CW consumers (the
+    fused warp+cor kernels). EVAL-ONLY: the CW path bypasses the
+    custom-VJP wrapper, so differentiating it autodiffs straight into the
+    Pallas kernels (an error) — callers gate on ``not train``."""
+    if o_cw and any(o_cw):
+        return _chain_impl(intra, tuple(skips), tuple(weights), tile_rows,
+                           interpret, o_cw=tuple(o_cw))
     return _fused_chain(intra, tuple(skips), tuple(weights), tile_rows,
                         interpret)
 

@@ -354,7 +354,7 @@ def _kernel_cor_ik(rel_ref, hypo_ref, src_hc_ref, ref_r, out_ref,
         acc = prod[0:C, :]
         for k in range(1, band):
             acc = acc + prod[k * C : (k + 1) * C, :]
-        refr = ref_r[0, 0, r * C : (r + 1) * C, :].astype(jnp.float32)
+        refr = ref_r[0, 0, r * C : (r + 1) * C, :W].astype(jnp.float32)
         out_ref[0, 0, r] = _group_mean(acc * refr, C, groups).astype(
             out_ref.dtype
         )
@@ -449,18 +449,30 @@ def warp_cor_tiles_pallas_v3_ik(
     xwin: int = 0,           # 0 = full-width contraction
     chunk: int = 128,
     interpret: bool = False,
+    cw: bool = False,        # src/ref arrive CHANNELS-IN-SUBLANES
+                             # ([B, H, C, Wp], zero lane pad) — the fused
+                             # top-down kernels' native output; src_hc and
+                             # ref_t become FREE reshapes (no NHWC
+                             # transposes)
 ) -> jnp.ndarray:            # [B, N, TR, groups, W] kernel-native
     """Fused warp + group-correlation with coordinates, y-band and column
     plan ALL computed in-kernel from (rel12, hypo) — no [B, D, H, W]
     coordinate planes, no XLA plan reductions."""
-    B, Hs, Ws, C = src.shape
     _, D, H, W = hypo.shape
     TR = tile_rows
     N = D * (H // TR)
     T_tiles = H // TR
-    src_hc = jnp.swapaxes(src, 2, 3).reshape(B, Hs * C, Ws)
-    hypo_r = hypo.reshape(B, N * TR, W).astype(jnp.float32)
-    ref_t = jnp.swapaxes(ref, 2, 3).reshape(B, T_tiles, TR * C, W)
+    hypo_r = hypo.reshape(hypo.shape[0], N * TR, W).astype(jnp.float32)
+    if cw:
+        B, Hs, C, Ws = src.shape
+        src_hc = src.reshape(B, Hs * C, Ws)
+        Wr = ref.shape[3]
+        ref_t = ref.reshape(B, T_tiles, TR * C, Wr)
+    else:
+        B, Hs, Ws, C = src.shape
+        src_hc = jnp.swapaxes(src, 2, 3).reshape(B, Hs * C, Ws)
+        Wr = W
+        ref_t = jnp.swapaxes(ref, 2, 3).reshape(B, T_tiles, TR * C, W)
 
     in_specs = [
         pl.BlockSpec(
@@ -468,7 +480,7 @@ def warp_cor_tiles_pallas_v3_ik(
         ),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         pl.BlockSpec(
-            (1, 1, TR * C, W),
+            (1, 1, TR * C, Wr),
             lambda b, n, *_: (b, n % T_tiles, 0, 0),
             memory_space=pltpu.VMEM,
         ),

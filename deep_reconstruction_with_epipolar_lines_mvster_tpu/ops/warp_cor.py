@@ -110,6 +110,21 @@ def _group_correlate(wf, ref_tiled, g):
     return jnp.stack(cors, axis=-1)
 
 
+def fuse_cor_eligible(B, H, W, C, dtype, *, band, tile_rows, fuse_cor,
+                      group_cor, impl):
+    """Single-source eligibility of the fused warp+group-cor Pallas path —
+    used by ``epipolar_aggregate`` to pick the branch AND by MVS4Net to
+    predict it (to request CW stage features from the FPN). The two must
+    agree or a CW feature would reach a non-CW branch."""
+    from .warp_mxu import v3_fwd_eligible
+
+    return bool(
+        fuse_cor and group_cor and impl == "mxu_v3"
+        and H % tile_rows == 0
+        and v3_fwd_eligible((B, H, W, C), W, band, dtype)
+    )
+
+
 def epipolar_aggregate(
     features: Sequence[jnp.ndarray],   # per view [B, H, W, C], ref first
     proj_stacks: jnp.ndarray,          # [B, V, 2, 4, 4], ref first
@@ -128,6 +143,10 @@ def epipolar_aggregate(
     pack_out: int = 1,
     kernel_coords: bool = True,
     fuse_attn: bool = False,  # measured negative — ModelConfig.fuse_attn
+    features_cw: bool = False,  # features arrive channels-in-sublanes
+                                # [B, H, C, Wp] (fpn cw_request); only the
+                                # kernel_coords fused path consumes CW —
+                                # any other branch transposes back first
 ) -> jnp.ndarray:
     """Cross-view attention-weighted fused cost volume, FOLDED layout
     ``[B*D, H, W, G]`` (depth folded into batch — keeps XLA from choosing
@@ -153,21 +172,34 @@ def epipolar_aggregate(
     identical to the two-step path up to f32 accumulation order.
     """
     ref_fea = features[0]
-    B, H, W, C = ref_fea.shape
     D = depth_hypo.shape[1]
+    if features_cw:
+        # CW features share the stage resolution with the hypotheses
+        B, H, C = ref_fea.shape[:3]
+        W = depth_hypo.shape[3]
+    else:
+        B, H, W, C = ref_fea.shape
     ref_stack = proj_stacks[:, 0]
-    fuse_v3 = False
-    if fuse_cor and group_cor and impl == "mxu_v3" and H % tile_rows == 0:
-        from .warp_mxu import v3_fwd_eligible, warp_cor_v3
+    fuse_v3 = fuse_cor_eligible(
+        B, H, W, C, features[1].dtype, band=band, tile_rows=tile_rows,
+        fuse_cor=fuse_cor, group_cor=group_cor, impl=impl,
+    )
+    if fuse_v3:
+        from .warp_mxu import warp_cor_v3
 
-        fuse_v3 = v3_fwd_eligible(
-            features[1].shape, W, band, features[1].dtype
-        )
         # per-stage effective x margin, mirroring homo_warp_mxu's plan
         tc = next(
             (t for t in (tile_cols, 128, 64, 32, 16) if W % t == 0), 0
         )
         xb = max(xband - tile_cols + tc, tc + 16) if tc and xband else 0
+    if features_cw and not (fuse_v3 and kernel_coords):
+        # CW features reached a branch that wants NHWC (eligibility drift
+        # or precomputed-coords kernel): transpose back once, correctly
+        features = [
+            jnp.swapaxes(f, 2, 3)[:, :, :W] for f in features
+        ]
+        ref_fea = features[0]
+        features_cw = False
     if fuse_v3:
         # kernel-native accumulation: every per-view tensor stays in the
         # pallas output layout [B, D, T, TR, G, W] (G in sublanes, W in
@@ -188,7 +220,7 @@ def epipolar_aggregate(
                 # plan reductions (~0.9 ms/view coords fusions, r4 trace)
                 cor = warp_cor_v3_ik(
                     features[v], ref_fea, rel, depth_hypo, band, tile_rows,
-                    xb, group_dim,
+                    xb, group_dim, cw=features_cw,
                 )  # [B, D, T, TR, G, W]
             else:
                 cxv, cyv = warp_coords_xy(rel, depth_hypo)

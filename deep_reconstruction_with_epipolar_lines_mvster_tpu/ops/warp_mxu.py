@@ -618,7 +618,7 @@ def warp_cor_v3(src, ref, cx, cy, band, tile_rows, xband,
 
 
 def warp_cor_v3_ik(src, ref, rel_proj, depth_hypo, band, tile_rows, xband,
-                   groups):
+                   groups, cw=False):
     """``warp_cor_v3`` with coordinates + band/chunk plan computed INSIDE
     the kernel from (rel_proj, depth_hypo)
     (ops/pallas/warp_fwd_v3.warp_cor_tiles_pallas_v3_ik): no per-view
@@ -627,13 +627,23 @@ def warp_cor_v3_ik(src, ref, rel_proj, depth_hypo, band, tile_rows, xband,
     Returns the KERNEL-NATIVE layout ``[B, D, T, TR, G, W]`` (the fused
     accumulation path's input). Same eligibility as ``warp_cor_v3``;
     values equal up to f32 rounding of the coordinate arithmetic (the
-    bilinear weights are continuous in the coordinates)."""
+    bilinear weights are continuous in the coordinates).
+
+    ``cw``: ``src``/``ref`` arrive CHANNELS-IN-SUBLANES ``[B, H, C, Wp]``
+    with ZERO lane padding to a 128 multiple — the fused top-down chain's
+    native output (models/fpn.py cw_request). The kernel operands then
+    come from free reshapes instead of per-view NHWC transposes."""
     from .pallas.warp_fwd_v3 import warp_cor_tiles_pallas_v3_ik
 
-    B, Hs, Ws, C = src.shape
     _, D, H, W = depth_hypo.shape
+    if cw:
+        B, Hs, C, Ws_pad = src.shape
+        assert Ws_pad % 128 == 0, src.shape
+        src_k = src
+    else:
+        B, Hs, Ws, C = src.shape
+        src_k, Ws_pad = _v3_pad_width(src)
     align_y = _v3_align_y(C, src.dtype)
-    src_k, Ws_pad = _v3_pad_width(src)
     band_k = _v3_band_k(band, align_y)
     chunk = V3_CHUNK
     xwin = _v3_xwin(xband)
@@ -645,6 +655,7 @@ def warp_cor_v3_ik(src, ref, rel_proj, depth_hypo, band, tile_rows, xband,
         src_k, rel12, depth_hypo, ref.astype(src.dtype),
         band=band_k, band0=band, align_y=align_y, groups=groups,
         tile_rows=tile_rows, xwin=xwin, chunk=chunk, interpret=interpret,
+        cw=cw,
     )  # [B, N, TR, G, W]
     T = H // tile_rows
     return out.reshape(B, D, T, tile_rows, groups, W)

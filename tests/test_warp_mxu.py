@@ -664,3 +664,43 @@ def test_per_stage_warp_band_tuple():
          "/tmp/x", "--testlist", "/tmp/x", "--warp_band", "12"]
     )
     assert make_model_config(args2).warp_band == 12
+
+
+def test_cw_stage_features_eval_matches_nhwc():
+    """CW stage-feature handoff (fused top-down chain native output -> fused
+    warp+cor kernel, models/fpn.py cw_request + ops/warp_cor.features_cw):
+    bit-identical to the NHWC path — the transposes it removes are exact,
+    the kernels see the same operand values, and the zero lane padding
+    matches _v3_pad_width's semantics. 256x320 makes stage 4 CW-eligible
+    (W=320 >= the 256 floor) while stage 3 (W=160) stays NHWC, covering
+    the mixed case."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.config import (
+        ModelConfig,
+    )
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.models import (
+        MVS4Net,
+    )
+
+    kw = dict(
+        group_cor=True, group_cor_dim=(8, 8, 4, 4), inverse_depth=True,
+        mono=False, dtype="float32", warp_impl="mxu_v3", warp_band=16,
+        warp_xband=192, fused_topdown=True, fuse_warp_cor=True,
+        kernel_coords=True,
+    )
+    batch = ge._example_batch(B=1, V=3, H=256, W=320)
+    m_cw = MVS4Net(ModelConfig(cw_stage_features=True, **kw))
+    v = ge._init_on_cpu(m_cw, batch)
+    out_cw = m_cw.apply(v, batch["imgs"], batch["proj_matrices"],
+                        batch["depth_values"], train=False)
+    m_nh = MVS4Net(ModelConfig(cw_stage_features=False, **kw))
+    out_nh = m_nh.apply(v, batch["imgs"], batch["proj_matrices"],
+                        batch["depth_values"], train=False)
+    for s in (1, 2, 3, 4):
+        np.testing.assert_array_equal(
+            np.asarray(out_cw[f"stage{s}"]["depth"]),
+            np.asarray(out_nh[f"stage{s}"]["depth"]),
+            err_msg=f"stage{s}",
+        )
