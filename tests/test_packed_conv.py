@@ -399,3 +399,33 @@ def test_mid_pack_plan_choices():
         assert plan == expect, (W, D, plan)
         for l, kp in zip((1, 2, 3), plan):
             assert kp == 0 or (W >> l) % kp == 0
+
+
+def test_band_conv3x3_proto_matches_conv():
+    """Round-6 go/no-go prototype (ops/pallas/reg_band_proto): banded-matmul
+    small-C 3x3 conv, interpret-exact vs lax.conv incl. fused scale/bias/
+    ReLU and zero lane padding. MEASURED NEGATIVE on chip at the bench
+    conv0 shape (1.54 vs 0.99 ms packed, ~10 vs ~98 effective TF/s,
+    _probe_r5o) — kept as the recorded answer to 'build the banded reg
+    kernel': width packing IS the right reg formulation on this hardware."""
+    from deep_reconstruction_with_epipolar_lines_mvster_tpu.ops.pallas.reg_band_proto import (
+        band_conv3x3,
+    )
+
+    rng = np.random.default_rng(3)
+    N, H, W, Ci, Co = 2, 32, 96, 4, 8
+    x = jnp.asarray(rng.standard_normal((N, H, W, Ci)), jnp.float32)
+    K = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)), jnp.float32) * 0.2
+    scale = jnp.asarray(np.abs(rng.standard_normal(Co)).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(Co).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, K, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ref = np.maximum(
+        np.asarray(ref) * np.asarray(scale) + np.asarray(bias), 0
+    )
+    x_cw = jnp.pad(jnp.swapaxes(x, 2, 3), ((0, 0),) * 3 + ((0, 128 - W),))
+    got = band_conv3x3(x_cw, K, scale, bias, w_real=W, interpret=True)
+    got = np.swapaxes(np.asarray(got), 2, 3)[:, :, :W]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
